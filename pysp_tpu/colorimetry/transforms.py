@@ -191,11 +191,12 @@ _CV2_LAB_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 def rgb_to_lab(rgb: Array) -> Array:
     """RGB [0,1] -> CIELAB, matching cv2.cvtColor(RGB2LAB) float semantics.
 
-    cv2 treats float input as gamma-encoded sRGB: it applies the sRGB decode before
-    the XYZ matrix. The reference feeds *linear* RGB into cvtColor (debayer/ahd.py:58-62),
-    so the effective AHD homogeneity metric runs on double-linearized values — replicated
-    here for behavioral parity.
+    cv2 treats float input as gamma-encoded sRGB: it clamps to [0,1], then applies the
+    sRGB decode before the XYZ matrix. The reference feeds *linear* RGB into cvtColor
+    (debayer/ahd.py:58-62), so the effective AHD homogeneity metric runs on clamped,
+    double-linearized values — replicated here for behavioral parity.
     """
+    rgb = jnp.clip(rgb, 0.0, 1.0)
     rgb = jnp.where(
         rgb <= 0.04045,
         rgb / 12.92,
