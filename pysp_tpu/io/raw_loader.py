@@ -1,0 +1,220 @@
+"""Raw file -> RawFrame: the host-side decode path (L0).
+
+Equivalent of RawBayerDataFromRaw (image.py:199-307): decode CFA data, read per-channel
+black/white levels, normalize, decode + validate the 2x2 CFA pattern, apply DNG
+ActiveArea and DefaultCrop with CFA-alignment checks, build the WB controller from the
+embedded calibration matrices, and compute EV.
+
+Decode backends:
+- uncompressed DNGs: the built-in minimal TIFF parser (pysp_tpu.io.tiff), no native deps
+- anything else: rawpy/libraw, if importable (gated — absent in this environment)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ..colorimetry.wb import CameraWhiteBalanceController
+from ..const import BayerPattern
+from ..core.frame import RawFrame
+from ..core.bayer import reversible_transform_rggb
+from . import tiff as T
+from .metadata import (
+    compute_ev_from_tiff,
+    exif_get_as_shot_neutral,
+    exif_get_color_mat_sources,
+    get_image_area_from_tiff,
+)
+
+Source = Union[str, bytes]
+
+_CFA_CODE_TO_CHAR = {0: "R", 1: "G", 2: "B"}
+
+_PATTERN_FROM_STRING = {
+    "RGGB": BayerPattern.Rggb,
+    "BGGR": BayerPattern.Bggr,
+    "GRBG": BayerPattern.Grbg,
+    "GBRG": BayerPattern.Gbrg,
+}
+
+
+def _normalize_host(
+    bayer: np.ndarray, chan_black: np.ndarray, chan_sat: np.ndarray
+) -> np.ndarray:
+    """Host-side twin of core.normalization.bayer_normalize (NumPy, for load time)."""
+    out = np.empty(bayer.shape, np.float32)
+    for (dy, dx), idx in (((0, 0), 0), ((0, 1), 1), ((1, 1), 2), ((1, 0), 3)):
+        plane = bayer[dy::2, dx::2].astype(np.float32)
+        out[dy::2, dx::2] = (
+            np.clip(plane - chan_black[idx], 0, chan_sat[idx]) / chan_sat[idx]
+        )
+    return out
+
+
+def _decode_pattern(cfa_codes) -> BayerPattern:
+    try:
+        s = "".join(_CFA_CODE_TO_CHAR[int(c)] for c in cfa_codes)
+    except KeyError as e:
+        raise ValueError(f"Raw has unsupported colors in CFA: {cfa_codes}") from e
+    if s not in _PATTERN_FROM_STRING:
+        raise NotImplementedError(f"Bayer pattern {s} is not supported!")
+    return _PATTERN_FROM_STRING[s]
+
+
+def _apply_area_and_crop(
+    sensor: np.ndarray,
+    active_area: Optional[list],
+    crop: Optional[Tuple[list, list]],
+) -> np.ndarray:
+    """ActiveArea then DefaultCrop, with the reference's CFA-alignment guards
+    (image.py:258-292)."""
+    if active_area is not None:
+        # DNG ActiveArea: top, left, bottom, right (bottom/right exclusive-ish; the
+        # reference treats them as inclusive indices and adds 1)
+        y_start, x_start = active_area[0], active_area[1]
+        y_end, x_end = active_area[2] + 1, active_area[3] + 1
+        x_start = int(np.clip(x_start, 0, sensor.shape[1]))
+        x_end = int(np.clip(x_end, 0, sensor.shape[1]))
+        y_start = int(np.clip(y_start, 0, sensor.shape[0]))
+        y_end = int(np.clip(y_end, 0, sensor.shape[0]))
+        sensor = sensor[y_start:y_end, x_start:x_end]
+
+    if crop is not None:
+        (start_x, start_y), (len_x, len_y) = (
+            (crop[0][0], crop[0][1]),
+            (crop[1][0], crop[1][1]),
+        )
+        if start_x % 2 != 0 or start_y % 2 != 0:
+            raise NotImplementedError(
+                "Sensor crop start would modify CFA pattern order. Not implemented!"
+            )
+        if len_x % 2 != 0 or len_y % 2 != 0:
+            raise NotImplementedError(
+                "Sensor crop length would cut the CFA array. Not implemented!"
+            )
+        r_s_x = int(np.clip(start_x, 0, sensor.shape[1] - 1))
+        r_s_y = int(np.clip(start_y, 0, sensor.shape[0] - 1))
+        r_e_x = int(np.clip(r_s_x + len_x, r_s_x + 1, sensor.shape[1]))
+        r_e_y = int(np.clip(r_s_y + len_y, r_s_y + 1, sensor.shape[0]))
+        sensor = sensor[r_s_y:r_e_y, r_s_x:r_e_x]
+
+    return sensor
+
+
+def _black_white_levels(raw_ifd: T.Ifd, n: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    black_tag = raw_ifd.get(T.TAG_BLACK_LEVEL)
+    white_tag = raw_ifd.get(T.TAG_WHITE_LEVEL)
+    black = np.zeros(n) if black_tag is None else np.asarray(black_tag.as_floats())
+    white = (
+        np.full(n, 65535.0) if white_tag is None else np.asarray(white_tag.as_floats())
+    )
+    if black.size == 1:
+        black = np.full(n, float(black.reshape(())))
+    if white.size == 1:
+        white = np.full(n, float(white.reshape(())))
+    return black[:n].astype(np.float64), white[:n].astype(np.float64)
+
+
+def load_raw_dng(source: Source) -> RawFrame:
+    """Load an uncompressed DNG through the built-in parser."""
+    tf = T.read_tiff(source)
+    raw_ifd = tf.find_raw_ifd()
+    if raw_ifd is None:
+        raise ValueError("Raw couldn't be read! No CFA IFD found")
+
+    cfa = raw_ifd.get(T.TAG_CFA_PATTERN)
+    if cfa is None:
+        raise ValueError("Raw has no CFA pattern, cannot continue!")
+    dims = raw_ifd.get(T.TAG_CFA_REPEAT_PATTERN_DIM)
+    if dims is not None and tuple(dims.as_ints()) != (2, 2):
+        raise ValueError("Raw has unsupported Bayer pattern, cannot continue!")
+    pattern = _decode_pattern(list(cfa.as_bytes() if isinstance(cfa.values, bytes) else cfa.as_ints())[:4])
+
+    data = tf.read_strips(raw_ifd)
+    black, white = _black_white_levels(raw_ifd)
+    sensor = _normalize_host(data, black, white)
+
+    active_area, crop = get_image_area_from_tiff(source)
+    sensor = _apply_area_and_crop(sensor, active_area, crop)
+
+    mats = exif_get_color_mat_sources(tf)
+    if len(mats) == 0:
+        raise KeyError(
+            "EXIF ColorMatrix tags or illuminant tags missing, could not create "
+            "white balance controller!"
+        )
+    neutral = exif_get_as_shot_neutral(tf)
+    cam_wb = CameraWhiteBalanceController(mats, neutral)
+
+    ev = compute_ev_from_tiff(source)
+    if not np.isfinite(ev):
+        raise ValueError("Error reading exposure value from raw!")
+
+    return frame_from_parts(sensor, pattern, cam_wb, ev)
+
+
+def frame_from_parts(
+    sensor_scaled: np.ndarray,
+    pattern: BayerPattern,
+    cam_wb: CameraWhiteBalanceController,
+    ev: float,
+    lim_sat: float = 1.0,
+    is_hdr: bool = False,
+) -> RawFrame:
+    """Assemble a canonical-RGGB RawFrame from decoded parts (image.py:191-193 to_rggb)."""
+    import jax.numpy as jnp
+
+    canonical = np.asarray(
+        reversible_transform_rggb(jnp.asarray(sensor_scaled), pattern)
+    )
+    mat = cam_wb.get_matrix()
+    return RawFrame(
+        bayer=jnp.asarray(canonical, jnp.float32),
+        cam_mat=jnp.asarray(mat.mat, jnp.float32),
+        cam_white=jnp.asarray(mat.xyz, jnp.float32),
+        wb_neutral=jnp.asarray(cam_wb.get_neutral(), jnp.float32),
+        ev=jnp.asarray(ev, jnp.float32),
+        lim_sat=jnp.asarray(lim_sat, jnp.float32),
+        is_hdr=is_hdr,
+        source_pattern=pattern,
+    )
+
+
+def load_raw(source: Source) -> RawFrame:
+    """Load any supported raw: built-in DNG path first, rawpy fallback if present."""
+    try:
+        return load_raw_dng(source)
+    except (ValueError, KeyError, NotImplementedError):
+        pass
+
+    try:
+        import rawpy  # type: ignore
+    except ImportError as e:
+        raise ValueError(
+            "Raw couldn't be read by the built-in DNG decoder and rawpy is not "
+            "installed for other formats."
+        ) from e
+
+    from io import BytesIO
+
+    reader = source if isinstance(source, str) else BytesIO(source)
+    with rawpy.imread(reader) as raw:
+        chan_sat = np.asarray(raw.camera_white_level_per_channel, np.float64)
+        chan_black = np.asarray(raw.black_level_per_channel, np.float64)
+        sensor = _normalize_host(raw.raw_image, chan_black, chan_sat)
+        if raw.raw_pattern.shape != (2, 2):
+            raise ValueError("Raw has unsupported Bayer pattern, cannot continue!")
+        desc = raw.color_desc.decode("ascii")
+        pattern_str = "".join(desc[i] for i in raw.raw_pattern.flatten())
+        pattern = _PATTERN_FROM_STRING[pattern_str.upper()]
+
+    tf_area = get_image_area_from_tiff(source)
+    sensor = _apply_area_and_crop(sensor, tf_area[0], tf_area[1])
+
+    tf = T.read_tiff(source)
+    mats = exif_get_color_mat_sources(tf)
+    neutral = exif_get_as_shot_neutral(tf)
+    cam_wb = CameraWhiteBalanceController(mats, neutral)
+    ev = compute_ev_from_tiff(source)
+    return frame_from_parts(sensor, pattern, cam_wb, ev)

@@ -1,0 +1,435 @@
+"""Minimal TIFF/DNG container parser and writer (pure Python, host-side).
+
+The reference leans on tifftools + exifread + libraw for metadata and decode
+(image.py:75-141, wb_cct/helpers_exif.py, dng_warp_corr/chan_distortion_corr.py:123-146).
+None of those ship in this environment, so this module implements the slice of TIFF 6.0
++ DNG 1.4 the framework needs:
+
+- IFD chain walking with SubIFD recursion, both endians
+- all scalar tag types incl. RATIONAL/SRATIONAL (decoded to Fraction-like floats)
+- uncompressed strip reading (8/16-bit) for CFA data
+- a writer that emits valid little-endian DNGs — used to build synthetic camera
+  files for tests (SURVEY.md §4 metadata fixtures)
+
+This layer is metadata plumbing, not performance-relevant; it stays pure Python.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from io import BytesIO
+from typing import Any, BinaryIO, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+# TIFF data types: id -> (struct fmt, size bytes)
+_TYPES = {
+    1: ("B", 1),   # BYTE
+    2: ("c", 1),   # ASCII
+    3: ("H", 2),   # SHORT
+    4: ("L", 4),   # LONG
+    5: ("LL", 8),  # RATIONAL
+    6: ("b", 1),   # SBYTE
+    7: ("B", 1),   # UNDEFINED
+    8: ("h", 2),   # SSHORT
+    9: ("l", 4),   # SLONG
+    10: ("ll", 8),  # SRATIONAL
+    11: ("f", 4),  # FLOAT
+    12: ("d", 8),  # DOUBLE
+}
+
+TYPE_BYTE = 1
+TYPE_ASCII = 2
+TYPE_SHORT = 3
+TYPE_LONG = 4
+TYPE_RATIONAL = 5
+TYPE_UNDEFINED = 7
+TYPE_SRATIONAL = 10
+TYPE_DOUBLE = 12
+
+# Tag ids used across the framework
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_MAKE = 271
+TAG_MODEL = 272
+TAG_STRIP_OFFSETS = 273
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_BYTE_COUNTS = 279
+TAG_SUB_IFD = 330
+TAG_CFA_REPEAT_PATTERN_DIM = 33421
+TAG_CFA_PATTERN = 33422
+TAG_EXPOSURE_TIME = 33434
+TAG_F_NUMBER = 33437
+TAG_EXIF_IFD = 34665
+TAG_ISO_SPEED = 34855
+TAG_DNG_VERSION = 50706
+TAG_BLACK_LEVEL_REPEAT_DIM = 50713
+TAG_BLACK_LEVEL = 50714
+TAG_WHITE_LEVEL = 50717
+TAG_DEFAULT_CROP_ORIGIN = 50719
+TAG_DEFAULT_CROP_SIZE = 50720
+TAG_COLOR_MATRIX_1 = 50721
+TAG_COLOR_MATRIX_2 = 50722
+TAG_AS_SHOT_NEUTRAL = 50728
+TAG_CALIBRATION_ILLUMINANT_1 = 50778
+TAG_CALIBRATION_ILLUMINANT_2 = 50779
+TAG_ACTIVE_AREA = 50829
+TAG_OPCODE_LIST_3 = 51022
+
+PHOTOMETRIC_CFA = 32803
+
+
+@dataclass
+class TiffTag:
+    tag: int
+    dtype: int
+    count: int
+    values: Any  # list of ints/floats/bytes; rationals as (num, den) tuples
+
+    def as_floats(self) -> List[float]:
+        out = []
+        for v in self.values:
+            if isinstance(v, tuple):
+                out.append(v[0] / v[1] if v[1] != 0 else float("inf"))
+            else:
+                out.append(float(v))
+        return out
+
+    def as_ints(self) -> List[int]:
+        return [int(round(f)) for f in self.as_floats()]
+
+    def as_bytes(self) -> bytes:
+        if isinstance(self.values, (bytes, bytearray)):
+            return bytes(self.values)
+        return bytes(self.values)
+
+
+@dataclass
+class Ifd:
+    tags: Dict[int, TiffTag] = field(default_factory=dict)
+    sub_ifds: List["Ifd"] = field(default_factory=list)
+    exif_ifd: Optional["Ifd"] = None
+
+    def get(self, tag: int) -> Optional[TiffTag]:
+        return self.tags.get(tag)
+
+
+@dataclass
+class TiffFile:
+    ifds: List[Ifd]
+    endian: str  # '<' or '>'
+    data: bytes
+
+    def find_raw_ifd(self) -> Optional[Ifd]:
+        """Locate the CFA raw IFD: first IFD (or SubIFD) with photometric == CFA."""
+        for ifd in self.ifds:
+            for cand in [ifd] + ifd.sub_ifds:
+                p = cand.get(TAG_PHOTOMETRIC)
+                if p is not None and p.as_ints()[0] == PHOTOMETRIC_CFA:
+                    return cand
+        # fall back: DNG convention of SubIFD 0 under IFD0
+        if self.ifds and self.ifds[0].sub_ifds:
+            return self.ifds[0].sub_ifds[0]
+        return None
+
+    def read_strips(self, ifd: Ifd) -> np.ndarray:
+        """Decode uncompressed strip data from an IFD into (H, W) uint8/uint16."""
+        comp = ifd.get(TAG_COMPRESSION)
+        if comp is not None and comp.as_ints()[0] != 1:
+            raise ValueError(
+                f"Unsupported TIFF compression {comp.as_ints()[0]} (only uncompressed)"
+            )
+        width = ifd.get(TAG_IMAGE_WIDTH).as_ints()[0]
+        height = ifd.get(TAG_IMAGE_LENGTH).as_ints()[0]
+        bits = ifd.get(TAG_BITS_PER_SAMPLE).as_ints()[0]
+        offsets = ifd.get(TAG_STRIP_OFFSETS).as_ints()
+        counts = ifd.get(TAG_STRIP_BYTE_COUNTS).as_ints()
+
+        raw = b"".join(self.data[o : o + c] for o, c in zip(offsets, counts))
+        if bits == 16:
+            arr = np.frombuffer(raw, dtype=np.dtype(self.endian + "u2"))
+        elif bits == 8:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+        else:
+            raise ValueError(f"Unsupported bit depth {bits}")
+        return arr.reshape(height, width)
+
+
+def _read_value(data: bytes, endian: str, dtype: int, count: int, raw: bytes) -> Any:
+    fmt, size = _TYPES[dtype]
+    total = size * count
+    if total > 4:
+        (offset,) = struct.unpack(endian + "L", raw)
+        payload = data[offset : offset + total]
+    else:
+        payload = raw[:total]
+
+    if dtype in (TYPE_ASCII, TYPE_UNDEFINED):
+        return payload
+    if dtype in (TYPE_RATIONAL, TYPE_SRATIONAL):
+        flat = struct.unpack(endian + _TYPES[dtype][0][0] * 2 * count, payload)
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
+    return list(struct.unpack(endian + fmt * count, payload))
+
+
+def _parse_ifd(data: bytes, endian: str, offset: int, depth: int = 0) -> Tuple[Ifd, int]:
+    ifd = Ifd()
+    (n_entries,) = struct.unpack_from(endian + "H", data, offset)
+    pos = offset + 2
+    for _ in range(n_entries):
+        tag, dtype, count = struct.unpack_from(endian + "HHL", data, pos)
+        raw = data[pos + 8 : pos + 12]
+        pos += 12
+        if dtype not in _TYPES:
+            continue
+        values = _read_value(data, endian, dtype, count, raw)
+        ifd.tags[tag] = TiffTag(tag, dtype, count, values)
+
+    (next_off,) = struct.unpack_from(endian + "L", data, pos)
+
+    if depth < 4:
+        sub = ifd.get(TAG_SUB_IFD)
+        if sub is not None:
+            for sub_off in sub.as_ints():
+                child, _ = _parse_ifd(data, endian, sub_off, depth + 1)
+                ifd.sub_ifds.append(child)
+        exif = ifd.get(TAG_EXIF_IFD)
+        if exif is not None:
+            child, _ = _parse_ifd(data, endian, exif.as_ints()[0], depth + 1)
+            ifd.exif_ifd = child
+
+    return ifd, next_off
+
+
+def read_tiff(source: Union[str, bytes, BinaryIO]) -> TiffFile:
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            data = f.read()
+    elif isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    else:
+        data = source.read()
+
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("Not a TIFF file")
+    (magic,) = struct.unpack_from(endian + "H", data, 2)
+    if magic != 42:
+        raise ValueError("Bad TIFF magic")
+
+    (off,) = struct.unpack_from(endian + "L", data, 4)
+    ifds = []
+    seen = set()
+    while off and off not in seen and len(ifds) < 16:
+        seen.add(off)
+        ifd, off = _parse_ifd(data, endian, off)
+        ifds.append(ifd)
+    return TiffFile(ifds=ifds, endian=endian, data=data)
+
+
+# --- writer --------------------------------------------------------------------------
+class TiffWriter:
+    """Builds a little-endian TIFF/DNG with one IFD chain (IFD0 [+SubIFD] [+ExifIFD])."""
+
+    def __init__(self) -> None:
+        self._blobs: List[bytes] = []
+
+    @staticmethod
+    def _pack_values(dtype: int, values: Any) -> Tuple[bytes, int]:
+        fmt, size = _TYPES[dtype]
+        if dtype in (TYPE_ASCII, TYPE_UNDEFINED):
+            payload = bytes(values)
+            return payload, len(payload)
+        if dtype in (TYPE_RATIONAL, TYPE_SRATIONAL):
+            flat = []
+            for num, den in values:
+                flat += [int(num), int(den)]
+            return struct.pack("<" + fmt[0] * len(flat), *flat), len(values)
+        if not isinstance(values, (list, tuple)):
+            values = [values]
+        return struct.pack("<" + fmt * len(values), *values), len(values)
+
+    def write(
+        self,
+        ifd0_tags: Dict[int, Tuple[int, Any]],
+        sub_ifd_tags: Optional[Dict[int, Tuple[int, Any]]] = None,
+        exif_tags: Optional[Dict[int, Tuple[int, Any]]] = None,
+        strip_data: Optional[bytes] = None,
+        strip_in_sub: bool = True,
+    ) -> bytes:
+        """Assemble the file. Tag dicts map tag -> (dtype, values).
+
+        If ``strip_data`` is given, StripOffsets/ByteCounts are patched into the raw
+        IFD (the SubIFD when ``strip_in_sub``). RowsPerStrip must already be set by
+        the caller via ImageLength (single strip).
+        """
+        # Layout: header(8) | IFD0 | SubIFD | ExifIFD | heap (out-of-line values + strip)
+        out = BytesIO()
+        out.write(b"II*\x00" + struct.pack("<L", 8))
+
+        def ifd_size(tags: Dict[int, Tuple[int, Any]]) -> int:
+            return 2 + 12 * len(tags) + 4
+
+        ifd0 = dict(ifd0_tags)
+        sub = dict(sub_ifd_tags) if sub_ifd_tags is not None else None
+        exif = dict(exif_tags) if exif_tags is not None else None
+
+        raw_ifd = sub if (strip_in_sub and sub is not None) else ifd0
+        if strip_data is not None:
+            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, [0])  # patched below
+            raw_ifd[TAG_STRIP_BYTE_COUNTS] = (TYPE_LONG, [len(strip_data)])
+
+        # Pointer tags must exist before sizing the IFDs
+        if sub is not None:
+            ifd0[TAG_SUB_IFD] = (TYPE_LONG, [0])
+        if exif is not None:
+            ifd0[TAG_EXIF_IFD] = (TYPE_LONG, [0])
+
+        off_ifd0 = 8
+        off_sub = off_ifd0 + ifd_size(ifd0)
+        off_exif = off_sub + (ifd_size(sub) if sub is not None else 0)
+        heap_start = off_exif + (ifd_size(exif) if exif is not None else 0)
+
+        if sub is not None:
+            ifd0[TAG_SUB_IFD] = (TYPE_LONG, [off_sub])
+        if exif is not None:
+            ifd0[TAG_EXIF_IFD] = (TYPE_LONG, [off_exif])
+
+        heap = BytesIO()
+
+        def build_ifd(tags: Dict[int, Tuple[int, Any]], ifd_offset: int) -> bytes:
+            entries = []
+            for tag in sorted(tags):
+                dtype, values = tags[tag]
+                payload, count = self._pack_values(dtype, values)
+                if len(payload) <= 4:
+                    inline = payload + b"\x00" * (4 - len(payload))
+                    entries.append(struct.pack("<HHL4s", tag, dtype, count, inline))
+                else:
+                    pos = heap_start + heap.tell()
+                    heap.write(payload)
+                    if heap.tell() % 2:
+                        heap.write(b"\x00")
+                    entries.append(struct.pack("<HHLL", tag, dtype, count, pos))
+            return (
+                struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<L", 0)
+            )
+
+        # Build in two passes: first to fill the heap in a stable order, second after
+        # the strip offset is known.
+        def assemble() -> bytes:
+            heap.seek(0)
+            heap.truncate()
+            blobs = []
+            blobs.append(build_ifd(ifd0, off_ifd0))
+            if sub is not None:
+                blobs.append(build_ifd(sub, off_sub))
+            if exif is not None:
+                blobs.append(build_ifd(exif, off_exif))
+            return b"".join(blobs)
+
+        body = assemble()
+        if strip_data is not None:
+            strip_off = heap_start + heap.tell()
+            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, [strip_off])
+            body = assemble()  # heap identical; only the inline offset changed
+            heap.write(strip_data)
+
+        out.write(body)
+        out.write(heap.getvalue())
+        blob = out.getvalue()
+        assert len(blob) >= heap_start
+        return blob
+
+
+def write_synthetic_dng(
+    bayer_u16: np.ndarray,
+    black_level: int = 256,
+    white_level: int = 4095,
+    cfa_pattern: Tuple[int, int, int, int] = (0, 1, 1, 2),  # RGGB (0=R,1=G,2=B)
+    color_matrix_1: Optional[np.ndarray] = None,
+    color_matrix_2: Optional[np.ndarray] = None,
+    illuminant_1: int = 17,  # EXIF LightSource: StdA
+    illuminant_2: int = 21,  # D65
+    as_shot_neutral: Tuple[float, float, float] = (0.5, 1.0, 0.6),
+    active_area: Optional[Tuple[int, int, int, int]] = None,
+    crop_origin: Optional[Tuple[int, int]] = None,
+    crop_size: Optional[Tuple[int, int]] = None,
+    opcode_list_3: Optional[bytes] = None,
+    exposure_time: Tuple[int, int] = (1, 100),
+    f_number: Tuple[int, int] = (28, 10),
+    iso: int = 200,
+) -> bytes:
+    """Emit a minimal valid DNG carrying the metadata the pipeline consumes.
+
+    This is the synthetic-camera-file generator for tests (SURVEY.md §4): ColorMatrix1/2
+    + CalibrationIlluminant1/2 + AsShotNeutral exercise the WB path, ActiveArea/
+    DefaultCrop the geometry path, OpcodeList3 the warp path, and the EXIF triplet the
+    EV computation.
+    """
+    h, w = bayer_u16.shape
+    if color_matrix_1 is None:
+        color_matrix_1 = np.array(
+            [[0.77, -0.11, -0.055], [-0.22, 1.21, 0.11], [0.022, -0.22, 1.32]]
+        )
+    if color_matrix_2 is None:
+        color_matrix_2 = np.array(
+            [[0.63, -0.09, -0.045], [-0.18, 0.99, 0.09], [0.018, -0.18, 1.08]]
+        )
+
+    def srat(mat: np.ndarray) -> List[Tuple[int, int]]:
+        return [(int(round(v * 10000)), 10000) for v in np.asarray(mat).flatten()]
+
+    sub: Dict[int, Tuple[int, Any]] = {
+        TAG_IMAGE_WIDTH: (TYPE_LONG, [w]),
+        TAG_IMAGE_LENGTH: (TYPE_LONG, [h]),
+        TAG_BITS_PER_SAMPLE: (TYPE_SHORT, [16]),
+        TAG_COMPRESSION: (TYPE_SHORT, [1]),
+        TAG_PHOTOMETRIC: (TYPE_SHORT, [PHOTOMETRIC_CFA]),
+        TAG_SAMPLES_PER_PIXEL: (TYPE_SHORT, [1]),
+        TAG_ROWS_PER_STRIP: (TYPE_LONG, [h]),
+        TAG_CFA_REPEAT_PATTERN_DIM: (TYPE_SHORT, [2, 2]),
+        TAG_CFA_PATTERN: (TYPE_BYTE, list(cfa_pattern)),
+        TAG_BLACK_LEVEL: (TYPE_SHORT, [black_level] * 4),
+        TAG_BLACK_LEVEL_REPEAT_DIM: (TYPE_SHORT, [2, 2]),
+        TAG_WHITE_LEVEL: (TYPE_LONG, [white_level]),
+    }
+    if active_area is not None:
+        sub[TAG_ACTIVE_AREA] = (TYPE_LONG, list(active_area))
+    if crop_origin is not None:
+        sub[TAG_DEFAULT_CROP_ORIGIN] = (TYPE_LONG, list(crop_origin))
+    if crop_size is not None:
+        sub[TAG_DEFAULT_CROP_SIZE] = (TYPE_LONG, list(crop_size))
+    if opcode_list_3 is not None:
+        sub[TAG_OPCODE_LIST_3] = (TYPE_UNDEFINED, opcode_list_3)
+
+    ifd0: Dict[int, Tuple[int, Any]] = {
+        TAG_MAKE: (TYPE_ASCII, b"pysp_tpu\x00"),
+        TAG_MODEL: (TYPE_ASCII, b"synthetic\x00"),
+        TAG_DNG_VERSION: (TYPE_BYTE, [1, 4, 0, 0]),
+        TAG_COLOR_MATRIX_1: (TYPE_SRATIONAL, srat(color_matrix_1)),
+        TAG_COLOR_MATRIX_2: (TYPE_SRATIONAL, srat(color_matrix_2)),
+        TAG_CALIBRATION_ILLUMINANT_1: (TYPE_SHORT, [illuminant_1]),
+        TAG_CALIBRATION_ILLUMINANT_2: (TYPE_SHORT, [illuminant_2]),
+        TAG_AS_SHOT_NEUTRAL: (
+            TYPE_RATIONAL,
+            [(int(round(v * 10000)), 10000) for v in as_shot_neutral],
+        ),
+        TAG_ISO_SPEED: (TYPE_SHORT, [iso]),
+    }
+
+    exif: Dict[int, Tuple[int, Any]] = {
+        TAG_EXPOSURE_TIME: (TYPE_RATIONAL, [exposure_time]),
+        TAG_F_NUMBER: (TYPE_RATIONAL, [f_number]),
+        TAG_ISO_SPEED: (TYPE_SHORT, [iso]),
+    }
+
+    strip = np.ascontiguousarray(bayer_u16.astype("<u2")).tobytes()
+    return TiffWriter().write(ifd0, sub, exif, strip_data=strip)

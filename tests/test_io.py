@@ -1,0 +1,132 @@
+"""IO layer: TIFF writer/parser round trips, metadata extraction, DNG load-to-develop."""
+import numpy as np
+import pytest
+
+from pysp_tpu.const import BayerPattern, QualityDemosaic
+from pysp_tpu.io import tiff as T
+from pysp_tpu.io.metadata import (
+    compute_ev,
+    compute_ev_from_tiff,
+    exif_get_as_shot_neutral,
+    exif_get_color_mat_sources,
+    get_image_area_from_tiff,
+    get_opcode_3_block,
+)
+from pysp_tpu.io.raw_loader import load_raw_dng
+from pysp_tpu.pipeline.develop import DevelopConfig, develop
+
+
+def make_bayer_u16(h=32, w=40, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(200, 4000, (h, w)).astype(np.uint16)
+
+
+def test_write_read_roundtrip():
+    bayer = make_bayer_u16()
+    blob = T.write_synthetic_dng(bayer)
+    tf = T.read_tiff(blob)
+
+    raw = tf.find_raw_ifd()
+    assert raw is not None
+    data = tf.read_strips(raw)
+    np.testing.assert_array_equal(data, bayer)
+
+    # IFD0 carries the color tags
+    ifd0 = tf.ifds[0]
+    assert ifd0.get(T.TAG_COLOR_MATRIX_1) is not None
+    assert ifd0.get(T.TAG_DNG_VERSION).as_ints() == [1, 4, 0, 0]
+    assert ifd0.exif_ifd is not None
+
+
+def test_metadata_extraction():
+    bayer = make_bayer_u16()
+    opcode_blob = b"\x00\x00\x00\x00"  # zero opcodes
+    blob = T.write_synthetic_dng(
+        bayer,
+        active_area=(2, 2, 29, 37),
+        crop_origin=(2, 2),
+        crop_size=(24, 20),
+        opcode_list_3=opcode_blob,
+        exposure_time=(1, 200),
+        f_number=(4, 1),
+        iso=400,
+    )
+
+    tf = T.read_tiff(blob)
+    mats = exif_get_color_mat_sources(tf)
+    assert len(mats) == 2
+    assert mats[0].mat.shape == (3, 3)
+    assert abs(mats[0].mat[0, 0] - 0.77) < 1e-3
+
+    neutral = exif_get_as_shot_neutral(tf)
+    np.testing.assert_allclose(neutral, [0.5, 1.0, 0.6], atol=1e-4)
+
+    active, crop = get_image_area_from_tiff(blob)
+    assert active == [2, 2, 29, 37]
+    assert crop == ([2, 2], [24, 20])
+
+    assert get_opcode_3_block(blob) == opcode_blob
+
+    ev = compute_ev_from_tiff(blob)
+    assert abs(ev - compute_ev(400, 1 / 200, 4.0)) < 1e-6
+
+
+def test_ev_formula():
+    # ISO 100, 1s, f/1.0 -> EV log2(100/100) = ... EV = log2(100*1/(100*1)) = 0
+    assert compute_ev(100, 1.0, 1.0) == pytest.approx(0.0)
+    assert compute_ev(100, 1 / 100, 2.8) == pytest.approx(np.log2(100 * 2.8**2 / 1))
+
+
+@pytest.mark.parametrize(
+    "cfa,pattern",
+    [
+        ((0, 1, 1, 2), BayerPattern.Rggb),
+        ((2, 1, 1, 0), BayerPattern.Bggr),
+        ((1, 0, 2, 1), BayerPattern.Grbg),
+        ((1, 2, 0, 1), BayerPattern.Gbrg),
+    ],
+)
+def test_load_raw_patterns(cfa, pattern):
+    bayer = make_bayer_u16()
+    blob = T.write_synthetic_dng(bayer, cfa_pattern=cfa)
+    frame = load_raw_dng(blob)
+    assert frame.source_pattern == pattern
+    assert frame.bayer.shape == bayer.shape
+    assert float(frame.bayer.max()) <= 1.0 and float(frame.bayer.min()) >= 0.0
+
+
+def test_load_normalization_values():
+    bayer = make_bayer_u16()
+    blob = T.write_synthetic_dng(bayer, black_level=256, white_level=4095)
+    frame = load_raw_dng(blob)
+    # spot check one photosite (RGGB: (0,0) is R)
+    want = np.clip(float(bayer[0, 0]) - 256, 0, 4095) / 4095
+    assert abs(float(frame.bayer[0, 0]) - want) < 1e-6
+
+
+def test_load_active_area_and_crop():
+    bayer = make_bayer_u16(40, 48)
+    blob = T.write_synthetic_dng(
+        bayer, active_area=(4, 4, 35, 43), crop_origin=(2, 2), crop_size=(24, 16)
+    )
+    frame = load_raw_dng(blob)
+    # active area -> 32x40, then crop at (2,2) size (24w,16h) -> 16x24
+    assert frame.bayer.shape == (16, 24)
+
+
+def test_load_odd_crop_rejected():
+    bayer = make_bayer_u16()
+    blob = T.write_synthetic_dng(bayer, crop_origin=(1, 2), crop_size=(10, 10))
+    with pytest.raises(NotImplementedError):
+        load_raw_dng(blob)
+
+
+def test_end_to_end_dng_develop():
+    """The canonical pipeline: synthetic DNG -> load -> develop -> sRGB."""
+    bayer = make_bayer_u16(64, 64, seed=3)
+    blob = T.write_synthetic_dng(bayer)
+    frame = load_raw_dng(blob)
+    out = np.asarray(develop(frame, DevelopConfig(quality=QualityDemosaic.Fast)))
+    assert out.shape == (64, 64, 3)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 1.0
