@@ -1,0 +1,114 @@
+"""Bad-pixel detection and repair on Bayer planes.
+
+Reference behavior: /root/reference/raw_bad_pixel_corr.py — threshold detection vs 8
+neighbors (:30-65), median-delta detection with quantile threshold (:67-93), multi-image
+consensus (:95-133), and repair via per-plane inpainting (:135-150).
+
+Deliberate divergence: the reference repairs with cv2's Navier-Stokes inpainting (a
+serial PDE solver); here repair is masked Jacobi diffusion — functionally equivalent for
+the isolated/hot-pixel masks this stage produces, and expressible as a fixed-iteration
+XLA loop (SURVEY.md §2.9 item 4).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.bayer import bayer_to_planes, planes_to_bayer
+from ..core.frame import RawFrame
+from ..ops.stencil import median2, pad_reflect101, pad_replicate, shift2d
+
+Array = jnp.ndarray
+
+_NEIGHBORS_8 = [
+    (-1, 0), (0, 1), (1, 0), (0, -1),
+    (-1, -1), (-1, 1), (1, 1), (1, -1),
+]
+
+
+def find_erroneous_pixels_threshold(
+    frame: RawFrame, min_delta: float = 0.025, min_neighbour_count: int = 5
+) -> Array:
+    """Hot-pixel masks per plane: pixel > (neighbor + min_delta) for more than
+    ``min_neighbour_count`` of its 8 neighbors (raw_bad_pixel_corr.py:30-65).
+
+    Returns (4, H/2, W/2) bool in (R, G1, B, G2) order.
+    """
+    planes = bayer_to_planes(frame.bayer)
+
+    count = jnp.zeros_like(planes, dtype=jnp.int32)
+    for dy, dx in _NEIGHBORS_8:
+        neigh = shift2d(planes, dy, dx, pad_fn=pad_reflect101)
+        count = count + ((planes - min_delta) > neigh).astype(jnp.int32)
+    return count > min_neighbour_count
+
+
+def find_erroneous_pixels_median(
+    frame: RawFrame, multiplier: float = 1.5, quantile: float = 0.9999
+) -> Array:
+    """Hot-pixel masks via delta against a 2x2 median, noise-floor subtracted,
+    thresholded at the given quantile (raw_bad_pixel_corr.py:67-93)."""
+    planes = bayer_to_planes(frame.bayer)
+
+    blur = median2(planes)
+    delta = jnp.abs(planes - blur)
+    noise_floor = jnp.mean(delta, axis=(-2, -1), keepdims=True)
+    delta = jnp.abs(delta - noise_floor)
+
+    strong = (
+        jnp.quantile(delta.reshape(4, -1), quantile, axis=-1).reshape(4, 1, 1)
+        * multiplier
+    )
+    return delta > strong
+
+
+def find_shared_pixels(
+    masks: Sequence[Array], min_ratio: float = 0.1
+) -> Optional[Array]:
+    """Consensus mask: keep pixels flagged in >= ceil(N*min_ratio) of the N masks
+    (raw_bad_pixel_corr.py:95-133). ``masks`` is a sequence of (4, H/2, W/2) masks."""
+    if len(masks) == 0:
+        return None
+    shapes = {tuple(m.shape) for m in masks}
+    if len(shapes) != 1:
+        return None
+    min_acceptance = jnp.ceil(len(masks) * min_ratio)
+    total = sum(m.astype(jnp.int16) for m in masks)
+    return total >= min_acceptance
+
+
+def diffusion_inpaint(chan: Array, mask: Array, iterations: int = 32) -> Array:
+    """Fill masked pixels by Jacobi diffusion from their 4-neighborhood.
+
+    Replaces cv2.inpaint(INPAINT_NS, radius 3) for hot-pixel healing. Fixed iteration
+    count keeps the loop jittable; isolated pixels converge in a handful of steps,
+    and small clusters within ~iterations/2 radius.
+    """
+    mask_f = mask.astype(chan.dtype)
+    # Seed masked pixels with the plane mean so diffusion starts from something sane
+    seed = jnp.mean(chan, axis=(-2, -1), keepdims=True)
+    x0 = chan * (1 - mask_f) + seed * mask_f
+
+    def body(_, x):
+        acc = (
+            shift2d(x, -1, 0, pad_replicate)
+            + shift2d(x, 1, 0, pad_replicate)
+            + shift2d(x, 0, -1, pad_replicate)
+            + shift2d(x, 0, 1, pad_replicate)
+        ) * 0.25
+        return jnp.where(mask, acc, chan)
+
+    return jax.lax.fori_loop(0, iterations, body, x0)
+
+
+def repair_bad_pixels(frame: RawFrame, masks: Array, iterations: int = 32) -> RawFrame:
+    """Heal masked photosites per plane; returns a new frame
+    (raw_bad_pixel_corr.py:135-150, with diffusion instead of NS inpainting)."""
+    masks = jnp.asarray(masks)
+    if masks.shape[0] != 4:
+        return frame
+    planes = bayer_to_planes(frame.bayer)
+    healed = diffusion_inpaint(planes, masks, iterations)
+    return frame.replace(bayer=planes_to_bayer(healed))
