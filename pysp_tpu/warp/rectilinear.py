@@ -1,0 +1,122 @@
+"""DNG 1.4 WarpRectilinear coordinate tables + fused resample.
+
+Reference behavior: /root/reference/dng_warp_corr/dng_warp_rectilinear_coords.pyx —
+the radial polynomial ``f = kr0 + kr1 r^2 + kr2 r^4 + kr3 r^6`` plus tangential
+``kt0/kt1`` terms, normalized by the max corner distance m, with ``scale`` lerping
+identity<->full warp; grid variant (:18-40) and seed/prior variant (:44-65) that lets
+warps compose with a single resample (``stack_warp_prior``,
+chan_distortion_corr.py:11-41).
+
+The reference runs this as an OpenMP Cython kernel then a separate cv2.remap; here the
+table is broadcast arithmetic that XLA fuses straight into the gather — one pass over
+HBM instead of two.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..ops.resample import remap_bilinear, remap_lanczos4
+
+Array = jnp.ndarray
+
+
+def _warp_coords(
+    seed_x: Array,
+    seed_y: Array,
+    coeffs: Array,  # (6,): kr0 kr1 kr2 kr3 kt0 kt1
+    m: Array,
+    center_x: Array,
+    center_y: Array,
+    scale: float,
+) -> Tuple[Array, Array]:
+    kr0, kr1, kr2, kr3, kt0, kt1 = (coeffs[i] for i in range(6))
+
+    dx = (seed_x - center_x) / m
+    dy = (seed_y - center_y) / m
+    r2 = dx * dx + dy * dy
+    f = kr0 + r2 * (kr1 + r2 * (kr2 + r2 * kr3))
+
+    dxr = f * dx
+    dyr = f * dy
+    dxt = kt0 * (2 * dx * dy) + kt1 * (r2 + 2 * dx * dx)
+    dyt = kt1 * (2 * dx * dy) + kt0 * (r2 + 2 * dy * dy)
+
+    xp = center_x + m * (dxr + dxt)
+    yp = center_y + m * (dyr + dyt)
+
+    out_x = seed_x + (xp - seed_x) * scale
+    out_y = seed_y + (yp - seed_y) * scale
+    return out_x, out_y
+
+
+def _geometry(width: int, height: int, cam_center_norm: Tuple[float, float]):
+    cx = (width - 1) * cam_center_norm[0]
+    cy = (height - 1) * cam_center_norm[1]
+    max_dist_x = max(abs(-cx), abs(width - 1 - cx))
+    max_dist_y = max(abs(-cy), abs(height - 1 - cy))
+    m = (max_dist_x**2 + max_dist_y**2) ** 0.5
+    return cx, cy, m
+
+
+def compute_remapping_table(
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """(map_x, map_y) warp tables from the pixel grid (.pyx:67-80)."""
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    seed_x = jnp.broadcast_to(xs, (height, width))
+    seed_y = jnp.broadcast_to(ys, (height, width))
+    return _warp_coords(
+        seed_x, seed_y, jnp.asarray(coeffs, jnp.float32),
+        jnp.float32(m), jnp.float32(cx), jnp.float32(cy), scale,
+    )
+
+
+def compute_offset_remapping_table(
+    seed_x: Array,
+    seed_y: Array,
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+) -> Tuple[Array, Array]:
+    """Warp tables from a prior coordinate field (.pyx:82-96) — warp composition."""
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    return _warp_coords(
+        seed_x, seed_y, jnp.asarray(coeffs, jnp.float32),
+        jnp.float32(m), jnp.float32(cx), jnp.float32(cy), scale,
+    )
+
+
+def warp_channel_rectilinear(
+    channel: Array,
+    coeffs,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+    prior: Optional[Tuple[Array, Array]] = None,
+    interpolation: str = "lanczos4",
+) -> Array:
+    """Fused table + resample for one channel (chan_distortion_corr.py:86-98).
+
+    Coordinates are clipped into the image bounds exactly like the reference's
+    np.clip before cv2.remap (:94-97).
+    """
+    h, w = channel.shape[-2], channel.shape[-1]
+    if prior is None:
+        map_x, map_y = compute_remapping_table(coeffs, w, h, cam_center_norm, scale)
+    else:
+        map_x, map_y = compute_offset_remapping_table(
+            prior[0], prior[1], coeffs, w, h, cam_center_norm, scale
+        )
+    map_x = jnp.clip(map_x, 0, w - 1)
+    map_y = jnp.clip(map_y, 0, h - 1)
+    remap = remap_lanczos4 if interpolation == "lanczos4" else remap_bilinear
+    return remap(channel, map_x, map_y)

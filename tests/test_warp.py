@@ -1,0 +1,159 @@
+"""Warp stack: remap vs cv2, rectilinear tables vs reference transcription, opcodes."""
+import cv2
+import numpy as np
+
+from pysp_tpu.ops.resample import bilinear_sample, remap_bilinear, remap_lanczos4
+from pysp_tpu.warp.opcodes import (
+    apply_opcode_3_warp,
+    decode_warp_rectilinear,
+    encode_warp_rectilinear,
+    iter_opcodes,
+    stack_warp_prior,
+)
+from pysp_tpu.warp.rectilinear import compute_remapping_table
+
+
+def _img(h=32, w=40, seed=0):
+    # smooth image to keep interpolator differences small
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return (0.5 + 0.3 * np.sin(xx / 5) * np.cos(yy / 7)).astype(np.float32)
+
+
+def _maps(h, w, seed=1):
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    map_x = np.clip(xs + rng.uniform(-1.5, 1.5, xs.shape).astype(np.float32), 0, w - 1)
+    map_y = np.clip(ys + rng.uniform(-1.5, 1.5, ys.shape).astype(np.float32), 0, h - 1)
+    return map_x, map_y
+
+
+def test_remap_bilinear_matches_cv2():
+    img = _img()
+    map_x, map_y = _maps(*img.shape[:2][::-1][::-1])
+    want = cv2.remap(img, map_x, map_y, cv2.INTER_LINEAR)
+    got = np.asarray(remap_bilinear(img, map_x, map_y))
+    # cv2 quantizes fractions to 1/32 fixed point; interior should agree closely
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+
+def test_remap_lanczos4_close_to_cv2():
+    img = _img()
+    map_x, map_y = _maps(32, 40, seed=2)
+    want = cv2.remap(img, map_x, map_y, cv2.INTER_LANCZOS4)
+    got = np.asarray(remap_lanczos4(img, map_x, map_y))
+    interior = np.s_[8:-8, 8:-8]  # 8-tap reach + displacement hits cv2 zero-border
+    np.testing.assert_allclose(got[interior], want[interior], atol=5e-3)
+
+
+def test_bilinear_sample_matches_reference():
+    """vs transcription of corr_ca/roi/helper.py:38-95."""
+    img = np.random.default_rng(3).random((20, 24)).astype(np.float32)
+
+    def ref_bilinear_sample(image, offset, width, height):
+        offset_y, offset_x = offset
+        img_h, img_w = image.shape[:2]
+        y = np.arange(height, dtype=np.float32) + offset_y
+        x = np.arange(width, dtype=np.float32) + offset_x
+        xg, yg = np.meshgrid(x, y)
+        x0 = np.floor(xg).astype(np.int32)
+        y0 = np.floor(yg).astype(np.int32)
+        fx, fy = xg - x0, yg - y0
+        x0c, x1c = np.clip(x0, 0, img_w - 1), np.clip(x0 + 1, 0, img_w - 1)
+        y0c, y1c = np.clip(y0, 0, img_h - 1), np.clip(y0 + 1, 0, img_h - 1)
+        return (
+            (1 - fx) * (1 - fy) * image[y0c, x0c]
+            + fx * (1 - fy) * image[y0c, x1c]
+            + (1 - fx) * fy * image[y1c, x0c]
+            + fx * fy * image[y1c, x1c]
+        )
+
+    got = np.asarray(bilinear_sample(img, (2.3, 3.7), 8, 6))
+    want = ref_bilinear_sample(img, (2.3, 3.7), 8, 6)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _ref_table(kr, width, height, cx_n, cy_n, scale):
+    """Transcription of dng_warp_rectilinear_coords.pyx:18-40,67-80."""
+    kr0, kr1, kr2, kr3, kt0, kt1 = kr
+    cx = (width - 1) * cx_n
+    cy = (height - 1) * cy_n
+    mx = max(abs(-cx), abs(width - 1 - cx))
+    my = max(abs(-cy), abs(height - 1 - cy))
+    m = np.sqrt(mx**2 + my**2)
+    table = np.zeros((height, width, 2), np.float32)
+    for y in range(height):
+        dy = (y - cy) / m
+        for x in range(width):
+            dx = (x - cx) / m
+            r = np.sqrt(dx**2 + dy**2)
+            f = kr0 + kr1 * r**2 + kr2 * r**4 + kr3 * r**6
+            dxr, dyr = f * dx, f * dy
+            dxt = kt0 * (2 * dx * dy) + kt1 * (r**2 + 2 * dx**2)
+            dyt = kt1 * (2 * dx * dy) + kt0 * (r**2 + 2 * dy**2)
+            xp = cx + m * (dxr + dxt)
+            yp = cy + m * (dyr + dyt)
+            table[y, x, 0] = x + (xp - x) * scale
+            table[y, x, 1] = y + (yp - y) * scale
+    return table
+
+
+def test_rectilinear_table_matches_reference():
+    coeffs = (1.02, -0.08, 0.02, -0.003, 0.001, -0.0005)
+    mx, my = compute_remapping_table(coeffs, 24, 18, (0.5, 0.48), scale=0.9)
+    want = _ref_table(coeffs, 24, 18, 0.5, 0.48, 0.9)
+    np.testing.assert_allclose(np.asarray(mx), want[..., 0], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(my), want[..., 1], atol=2e-4)
+
+
+def test_opcode_roundtrip_and_apply():
+    coeffs = [
+        (1.01, -0.05, 0.0, 0.0, 0.0, 0.0),
+        (1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        (0.99, 0.05, 0.0, 0.0, 0.0, 0.0),
+    ]
+    center = (0.5, 0.5)
+    block = encode_warp_rectilinear(coeffs, center)
+
+    ops = list(iter_opcodes(block))
+    assert len(ops) == 1
+    opcode_id, _, _, data = ops[0]
+    assert opcode_id == 1
+    decoded = decode_warp_rectilinear(data, 3)
+    assert decoded is not None
+    got_coeffs, got_center = decoded
+    np.testing.assert_allclose(got_coeffs, coeffs)
+    np.testing.assert_allclose(got_center, center)
+
+    img = np.dstack([_img(32, 32, s) for s in range(3)])
+    out = np.asarray(apply_opcode_3_warp(img, block, interpolation="bilinear"))
+    assert out.shape == img.shape
+    assert np.all(np.isfinite(out))
+    # identity plane (kr=1, rest 0) is preserved
+    np.testing.assert_allclose(out[..., 1], img[..., 1], atol=1e-5)
+    # warped planes actually moved
+    assert np.abs(out[..., 0] - img[..., 0]).max() > 1e-3
+
+
+def test_warp_composition_single_resample():
+    """prior composition == applying the prior remap inside the warp (one resample)."""
+    img = _img(24, 24)
+    # prior: shift by +2 px in x
+    xs, ys = np.meshgrid(
+        np.arange(24, dtype=np.float32), np.arange(24, dtype=np.float32)
+    )
+    prior = [(xs + 2.0, ys)] * 3
+    coeffs = [(1.0, 0.0, 0.0, 0.0, 0.0, 0.0)] * 3  # identity warp
+    block = encode_warp_rectilinear(coeffs, (0.5, 0.5))
+    rgb = np.dstack([img] * 3)
+    out = np.asarray(
+        apply_opcode_3_warp(rgb, block, prior=prior, interpolation="bilinear")
+    )
+    want = np.asarray(remap_bilinear(img, np.clip(xs + 2.0, 0, 23), ys))
+    np.testing.assert_allclose(out[..., 0], want, atol=1e-5)
+
+
+def test_stack_warp_prior_identity_fill():
+    pri = stack_warp_prior((8, 10), None, None, None)
+    assert len(pri) == 3
+    np.testing.assert_allclose(np.asarray(pri[0][0])[0], np.arange(10))
+    np.testing.assert_allclose(np.asarray(pri[1][1])[:, 0], np.arange(8))
