@@ -1,0 +1,115 @@
+"""Blind in-raw chromatic aberration: model fitting orchestration + removal.
+
+Reference behavior: /root/reference/corr_ca/ca_removal.py (roughly following
+DOI 10.1109/ACCESS.2021.3096201):
+- fit (:15-46): structural instability -> per-channel radial scale pairs -> model fit
+- removal (:48-132): upsample G alone; warp G onto the R/B grids (inverse model +
+  bilinear remap), G-guided upsample of R/B, forward-warp back onto the G grid,
+  re-sample at the Bayer phase and overwrite the raw planes.
+
+Fitting is host-side (ROI screening + scalar fits); removal is one jittable device
+program per channel.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.bayer import bayer_to_rgbg, rgbg_to_bayer
+from ...core.frame import RawFrame
+from ...demosaic.eag import resample_b, resample_g_to_full_resolution, resample_r
+from ...ops.resample import remap_bilinear
+from .instability import compute_structural_instability
+from .models import CaCorrectionModel, Poly5CorrectionModel, ReversibleModelMixin
+from .solver import get_scale_pairs_using_pooled_tiler
+
+Array = jnp.ndarray
+
+
+def compute_ca_lens_models_for_raw(
+    frame: RawFrame,
+    init_model_r: Optional[CaCorrectionModel] = None,
+    init_model_b: Optional[CaCorrectionModel] = None,
+    max_distortion_additional_scale: float = 0.004,
+) -> Tuple[Optional[CaCorrectionModel], Optional[CaCorrectionModel]]:
+    """Fit R->G and B->G alignment models from a single raw (ca_removal.py:15-46).
+
+    Passing ``None`` for a model skips that channel; by default fresh Poly5 models are
+    fitted for both (the reference's mutable-default instances are avoided).
+    """
+    if init_model_r is None:
+        init_model_r = Poly5CorrectionModel()
+    if init_model_b is None:
+        init_model_b = Poly5CorrectionModel()
+
+    si = np.asarray(compute_structural_instability(frame))
+
+    init_model_r.compute_coefficients(
+        get_scale_pairs_using_pooled_tiler(
+            si[:, :, 0], si[:, :, 1], max_reach=max_distortion_additional_scale
+        )
+    )
+    init_model_b.compute_coefficients(
+        get_scale_pairs_using_pooled_tiler(
+            si[:, :, 2], si[:, :, 1], max_reach=max_distortion_additional_scale
+        )
+    )
+    return init_model_r, init_model_b
+
+
+def _remap_by_offsets(channel: Array, coords: Array) -> Array:
+    """cv2.remap with the reference's center-relative coordinate plumbing
+    (ca_removal.py:100-128): coords[..., 0] is dy, [..., 1] is dx."""
+    h, w = channel.shape[-2], channel.shape[-1]
+    map_x = jnp.clip(coords[..., 1] + (w - 1) / 2.0, 0, w - 1)
+    map_y = jnp.clip(coords[..., 0] + (h - 1) / 2.0, 0, h - 1)
+    return remap_bilinear(channel, map_x, map_y)
+
+
+def remove_ca_from_raw(
+    frame: RawFrame,
+    lens_model_r: Optional[CaCorrectionModel],
+    lens_model_b: Optional[CaCorrectionModel],
+) -> RawFrame:
+    """Align R/B onto G in the mosaic; returns a corrected frame (ca_removal.py:48-132).
+
+    Models must be reversible (forward + inverse radial maps)."""
+    if lens_model_r is None and lens_model_b is None:
+        return frame
+
+    for name, model in (("Red", lens_model_r), ("Blue", lens_model_b)):
+        if model is not None and not isinstance(model, ReversibleModelMixin):
+            raise ValueError(
+                f"{name} lens model is not reversible so green cannot be re-aligned "
+                "to remove error. Use a reversible model and try again."
+            )
+
+    r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
+    g_resampled = resample_g_to_full_resolution(g1, g2)
+    wb = frame.wb_reciprocal()
+
+    if lens_model_r is not None:
+        coords_g_at_r = lens_model_r.get_undistorted_coordinates(g_resampled)
+        g_at_r = _remap_by_offsets(g_resampled, coords_g_at_r)
+
+        r_resampled = resample_r(r * wb[0], g_at_r)
+
+        coords_r_at_g = lens_model_r.get_distorted_coordinates(r_resampled)
+        r_at_g = _remap_by_offsets(r_resampled, coords_r_at_g)
+
+        r = bayer_to_rgbg(r_at_g)[0] / wb[0]
+
+    if lens_model_b is not None:
+        coords_g_at_b = lens_model_b.get_undistorted_coordinates(g_resampled)
+        g_at_b = _remap_by_offsets(g_resampled, coords_g_at_b)
+
+        b_resampled = resample_b(b * wb[2], g_at_b)
+
+        coords_b_at_g = lens_model_b.get_distorted_coordinates(b_resampled)
+        b_at_g = _remap_by_offsets(b_resampled, coords_b_at_g)
+
+        b = bayer_to_rgbg(b_at_g)[2] / wb[2]
+
+    return frame.replace(bayer=rgbg_to_bayer(r, g1, b, g2))

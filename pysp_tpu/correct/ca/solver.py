@@ -1,0 +1,103 @@
+"""Radial scale-pair extraction glue: ROI bins -> template matches -> (Rd, Ru) pairs.
+
+Reference behavior: /root/reference/corr_ca/solver/radial_offset_solver.py:10-67.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .matcher import template_match
+from .roi import PooledChannel, RoiDetector, TileResult
+
+
+def get_start_end_points_from_centers(
+    center_feature: np.ndarray,
+    offset_actual_feature: np.ndarray,
+    center_image: np.ndarray,
+    radius_percent: float,
+):
+    """Scan segment endpoints around the feature radius (radial_offset_solver.py:10-12)."""
+    delta = center_feature + offset_actual_feature - center_image
+    return (
+        center_image + delta * (1 + radius_percent) - offset_actual_feature,
+        center_image + delta * (1 - radius_percent) - offset_actual_feature,
+    )
+
+
+def _gaussian_blur3_sigma033(img: np.ndarray) -> np.ndarray:
+    """3x3 Gaussian, sigma=0.33, reflect-101 border (cv2.GaussianBlur equivalent)."""
+    k1 = np.exp(-0.5 * (np.array([-1.0, 0.0, 1.0]) / 0.33) ** 2)
+    k1 = k1 / k1.sum()
+    pad = np.pad(img, 1, mode="reflect")
+    tmp = (
+        k1[0] * pad[:, :-2] + k1[1] * pad[:, 1:-1] + k1[2] * pad[:, 2:]
+    )
+    return k1[0] * tmp[:-2] + k1[1] * tmp[1:-1] + k1[2] * tmp[2:]
+
+
+def get_radius_scale_factors_from_bins(
+    detector: RoiDetector,
+    pool: PooledChannel,
+    reference_channel: np.ndarray,
+    top_n: int = 16,
+    max_reach: float = 0.004,
+) -> np.ndarray:
+    """(N, 2) array of normalized (r_distorted, r_undistorted) pairs
+    (radial_offset_solver.py:14-61)."""
+    if pool.source.shape != reference_channel.shape:
+        raise ValueError(
+            "Reference and pooled channel shapes are not identical. "
+            "No mapping can be formed."
+        )
+
+    tiles: List[TileResult] = []
+    for bin_tiles in detector.bins:
+        tiles.extend(bin_tiles[: min(top_n, len(bin_tiles))])
+
+    if len(tiles) <= 4:
+        raise ValueError("Not enough tiles to compute max quality model (PTLens).")
+
+    idx_center = (np.array(pool.source.shape[:2]) - 1) / 2
+    max_r = float(np.sqrt(np.sum(idx_center**2)))
+
+    source_blurred = _gaussian_blur3_sigma033(np.asarray(pool.source, np.float32))
+
+    radius_distorted = []
+    radius_undistorted = []
+    for tile in tiles:
+        tw = pool.get_tile_width()
+        tile_graphic = source_blurred[
+            tile.offset_real_tl[0] : tile.offset_real_tl[0] + tw,
+            tile.offset_real_tl[1] : tile.offset_real_tl[1] + tw,
+        ]
+        start, end = get_start_end_points_from_centers(
+            tile.offset_real_tl, tile.offset_average_n, idx_center, max_reach
+        )
+        corrected = template_match(reference_channel, tile_graphic, start, end)
+
+        feature = tile.offset_real_tl + tile.offset_average_n
+        feature_corrected = corrected + tile.offset_average_n
+
+        r_d = float(np.sqrt(np.sum((feature - idx_center) ** 2)))
+        r_ud = float(np.sqrt(np.sum((feature_corrected - idx_center) ** 2)))
+
+        radius_distorted.append(r_d / max_r)
+        radius_undistorted.append(r_ud / max_r)
+
+    return np.stack([radius_distorted, radius_undistorted], axis=1)
+
+
+def get_scale_pairs_using_pooled_tiler(
+    channel_distorted: np.ndarray,
+    channel_undistorted: np.ndarray,
+    threshold: float = 16,
+    max_reach: float = 0.004,
+) -> np.ndarray:
+    """End-to-end pair extraction for one channel (radial_offset_solver.py:63-67)."""
+    pool = PooledChannel(np.asarray(channel_distorted))
+    detector = RoiDetector(pool, default_threshold=threshold)
+    return get_radius_scale_factors_from_bins(
+        detector, pool, np.asarray(channel_undistorted), max_reach=max_reach
+    )
