@@ -1,0 +1,130 @@
+"""pysp_tpu — a TPU-native raw photo development framework.
+
+Full capability surface of bullbin/pySP (see SURVEY.md), rebuilt TPU-first:
+host-side decode/metadata/WB-solve feeding immutable pytrees, with every per-pixel
+stage compiled into fused XLA programs (vmappable over bursts, shardable over a
+('batch', 'spatial') device mesh).
+
+Canonical flow (the reference's README pipeline, one jitted program):
+
+    from pysp_tpu import load_raw, develop, DevelopConfig, QualityDemosaic
+    frame = load_raw("shot.dng")
+    srgb = develop(frame, DevelopConfig(quality=QualityDemosaic.Best))
+"""
+
+from .const import BayerPattern, PatternDemosaic, QualityDemosaic
+from .core.bayer import (
+    bayer_to_planes,
+    bayer_to_rgbg,
+    planes_to_bayer,
+    reversible_transform_rggb,
+    rgbg_to_bayer,
+)
+from .core.frame import DevelopedImage, RawFrame
+from .core.normalization import bayer_normalize
+from .colorimetry.transforms import (
+    cam_to_clean_xyz,
+    cam_to_lin_srgb,
+    lin_srgb_to_oklab,
+    lin_srgb_to_srgb,
+    oklab_to_lin_srgb,
+    srgb_to_lin_srgb,
+)
+from .colorimetry.wb import CameraWhiteBalanceController, controller_from_tags
+from .demosaic import demosaic, demosaic_ahd, demosaic_draft, demosaic_eag
+from .pipeline.develop import DevelopConfig, develop, develop_burst, develop_to_image
+from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
+from .io.metadata import (
+    compute_ev,
+    compute_ev_from_tiff,
+    get_image_area_from_tiff,
+    get_opcode_3_block,
+)
+from .correct.bad_pixels import (
+    find_erroneous_pixels_median,
+    find_erroneous_pixels_threshold,
+    find_shared_pixels,
+    repair_bad_pixels,
+)
+from .correct.flat_field import (
+    bias_frame_subtraction,
+    dark_frame_subtraction,
+    flat_frame_correction,
+)
+from .correct.hdr import fuse_exposures_from_debayer, fuse_exposures_to_raw
+from .correct.ca.models import (
+    Poly3CorrectionModel,
+    Poly5CorrectionModel,
+    PtLensCorrectionModel,
+)
+from .correct.ca.removal import compute_ca_lens_models_for_raw, remove_ca_from_raw
+from .warp.opcodes import apply_opcode_3_warp, stack_warp_prior
+from .filters.blur import blur_gaussian
+from .filters.sharpen import (
+    gaussian_rt_deconvolution,
+    gaussian_rt_deconvolution_lab,
+    gaussian_rt_deconvolution_yuv,
+    unsharp_mask_lab,
+    unsharp_mask_per_channel,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BayerPattern",
+    "PatternDemosaic",
+    "QualityDemosaic",
+    "RawFrame",
+    "DevelopedImage",
+    "DevelopConfig",
+    "develop",
+    "develop_burst",
+    "develop_to_image",
+    "demosaic",
+    "demosaic_ahd",
+    "demosaic_draft",
+    "demosaic_eag",
+    "load_raw",
+    "load_raw_dng",
+    "frame_from_parts",
+    "bayer_normalize",
+    "bayer_to_rgbg",
+    "rgbg_to_bayer",
+    "bayer_to_planes",
+    "planes_to_bayer",
+    "reversible_transform_rggb",
+    "cam_to_lin_srgb",
+    "cam_to_clean_xyz",
+    "lin_srgb_to_srgb",
+    "srgb_to_lin_srgb",
+    "lin_srgb_to_oklab",
+    "oklab_to_lin_srgb",
+    "CameraWhiteBalanceController",
+    "controller_from_tags",
+    "compute_ev",
+    "compute_ev_from_tiff",
+    "get_image_area_from_tiff",
+    "get_opcode_3_block",
+    "find_erroneous_pixels_threshold",
+    "find_erroneous_pixels_median",
+    "find_shared_pixels",
+    "repair_bad_pixels",
+    "flat_frame_correction",
+    "dark_frame_subtraction",
+    "bias_frame_subtraction",
+    "fuse_exposures_to_raw",
+    "fuse_exposures_from_debayer",
+    "Poly3CorrectionModel",
+    "Poly5CorrectionModel",
+    "PtLensCorrectionModel",
+    "compute_ca_lens_models_for_raw",
+    "remove_ca_from_raw",
+    "apply_opcode_3_warp",
+    "stack_warp_prior",
+    "blur_gaussian",
+    "unsharp_mask_per_channel",
+    "unsharp_mask_lab",
+    "gaussian_rt_deconvolution",
+    "gaussian_rt_deconvolution_lab",
+    "gaussian_rt_deconvolution_yuv",
+]
