@@ -24,12 +24,18 @@ Array = jnp.ndarray
 
 
 def mat3_apply(img: Array, mat: Array) -> Array:
-    """Apply a 3x3 matrix to the last axis of an image in full f32 precision.
+    """Apply a 3x3 matrix to the last axis of an image, unrolled to elementwise ops.
 
-    TPU default matmul precision is bf16-accumulated; color transforms need exact f32
-    to hold the 50 dB fidelity gate, hence the explicit HIGHEST precision.
+    Not a matmul on purpose: a K=3 einsum lowers to an MXU op with the channel dim
+    padded onto 128-wide tiles (the same pathology that made single-channel convs
+    blow up); nine scalar multiply-adds are exact f32 VPU work that fuses with the
+    surrounding pipeline.
     """
-    return jnp.einsum("...j,ij->...i", img, mat, precision=lax.Precision.HIGHEST)
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    out0 = mat[0, 0] * r + mat[0, 1] * g + mat[0, 2] * b
+    out1 = mat[1, 0] * r + mat[1, 1] * g + mat[1, 2] * b
+    out2 = mat[2, 0] * r + mat[2, 1] * g + mat[2, 2] * b
+    return jnp.stack([out0, out1, out2], axis=-1)
 
 # Base (unadapted, D65-white) RGB->XYZ matrices, computed once on host in float64.
 _REC709_TO_XYZ = np.asarray(LinRgbColorspace.REC709.mat_to_xyz(), np.float64)

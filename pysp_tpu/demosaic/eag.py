@@ -79,10 +79,10 @@ def _phase_upsample(plane: Array, position: BayerPatternPosition) -> Array:
     """Upsample a quarter-res plane to full res with the 4 phase kernels."""
     k_tl, k_tr, k_bl, k_br = get_rgbg_kernel(position)
     return rgbg_to_bayer(
-        filter2d(plane, jnp.asarray(k_tl)),
-        filter2d(plane, jnp.asarray(k_tr)),
-        filter2d(plane, jnp.asarray(k_br)),
-        filter2d(plane, jnp.asarray(k_bl)),
+        filter2d(plane, k_tl),
+        filter2d(plane, k_tr),
+        filter2d(plane, k_br),
+        filter2d(plane, k_bl),
     )
 
 

@@ -50,4 +50,4 @@ def blur_gaussian(image: Array, sigma: float) -> Array:
     """
     k1 = get_1d_gaussian_filter(float(sigma))
     kernel = np.outer(k1, k1).astype(np.float32)
-    return filter2d_hwc(image, jnp.asarray(kernel), border="reflect")
+    return filter2d_hwc(image, kernel, border="reflect")

@@ -14,7 +14,7 @@ cv2.filter2D (and like lax.conv_general_dilated, which does not flip kernels).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence
 
 import jax
@@ -57,20 +57,30 @@ def _expand_pad(pad: int | Sequence[int]) -> tuple[int, int, int, int]:
 
 
 def _conv_valid(x: Array, kernel: Array) -> Array:
-    """VALID cross-correlation on the last two axes; leading axes are batched."""
-    lead = x.shape[:-2]
-    h, w = x.shape[-2], x.shape[-1]
-    xb = x.reshape((-1, 1, h, w))
-    k = jnp.asarray(kernel, x.dtype).reshape((1, 1) + kernel.shape)
-    # precision=HIGHEST: TPU default conv precision is bf16-accumulated, which costs
-    # ~5e-3 absolute error — far above the 50 dB fidelity gate. These stencils are
-    # HBM-bound, so full f32 MXU passes are effectively free.
-    out = lax.conv_general_dilated(
-        xb, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
-    )
-    return out.reshape(lead + out.shape[-2:])
+    """VALID cross-correlation on the last two axes; leading axes are batched.
+
+    Implemented as shift-and-add rather than lax.conv: XLA's TPU lowering of
+    single-channel 2D convolutions pads the channel dims onto MXU tiles with up to
+    ~128x memory expansion (observed 92MB -> 11.5GB at 24MP), while k*k shifted
+    multiply-adds are pure VPU work that fuses with neighbors, keeps exact f32
+    accumulation, and skips zero taps (the photosite phase kernels are half zeros).
+    """
+    kh, kw = kernel.shape
+    h = x.shape[-2] - kh + 1
+    w = x.shape[-1] - kw + 1
+    k_host = np.asarray(kernel, np.float64)
+
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            coeff = float(k_host[dy, dx])
+            if coeff == 0.0:
+                continue
+            term = x[..., dy : dy + h, dx : dx + w] * jnp.asarray(coeff, x.dtype)
+            out = term if out is None else out + term
+    if out is None:
+        return jnp.zeros(x.shape[:-2] + (h, w), x.dtype)
+    return out
 
 
 def filter2d(x: Array, kernel: Array, border: str = "reflect101") -> Array:
@@ -95,8 +105,7 @@ def filter2d_hwc(x: Array, kernel: Array, border: str = "reflect101") -> Array:
 
 def box_blur3(x: Array) -> Array:
     """cv2.blur(src, (3,3)) equivalent (normalized box, reflect101 border)."""
-    k = jnp.full((3, 3), 1.0 / 9.0, jnp.float32)
-    return filter2d(x, k)
+    return filter2d(x, np.full((3, 3), 1.0 / 9.0, np.float32))
 
 
 # cv2.getGaussianKernel(3, 1.0): exp(-x^2/2) at {-1,0,1}, normalized.
@@ -107,7 +116,7 @@ GAUSSIAN3_SIGMA1 = np.outer(_G3, _G3).astype(np.float32)
 
 def gaussian_blur3(x: Array) -> Array:
     """cv2.GaussianBlur(src, (3,3), 1.0) equivalent (reflect101 border)."""
-    return filter2d(x, jnp.asarray(GAUSSIAN3_SIGMA1))
+    return filter2d(x, GAUSSIAN3_SIGMA1)
 
 
 def _window_stack(x: Array, k: int, pad_fn) -> Array:
@@ -123,20 +132,122 @@ def _window_stack(x: Array, k: int, pad_fn) -> Array:
     return jnp.stack(views, axis=0)
 
 
+def _batcher_comparators(n: int):
+    """Comparator list (i, j), i<j, of Batcher's odd-even mergesort for size n
+    (n rounded up to a power of two; extra wires are +inf)."""
+    p = 1
+    while p < n:
+        p *= 2
+    comparators = []
+
+    def add(i, j):
+        comparators.append((i, j))
+
+    def oddeven_merge(lo, m, r):
+        step = r * 2
+        if step < m:
+            oddeven_merge(lo, m, step)
+            oddeven_merge(lo + r, m, step)
+            for i in range(lo + r, lo + m - r, step):
+                add(i, i + r)
+        else:
+            add(lo, lo + r)
+
+    def oddeven_merge_sort_range(lo, hi):
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            oddeven_merge_sort_range(lo, mid)
+            oddeven_merge_sort_range(mid + 1, hi)
+            oddeven_merge(lo, hi - lo + 1, 1)
+
+    oddeven_merge_sort_range(0, p - 1)
+    return comparators, p
+
+
+@lru_cache(maxsize=None)
+def _median_network(n: int):
+    """Pruned compare-exchange network computing element ``n // 2`` of n sorted values.
+
+    Built from Batcher odd-even mergesort on the next power of two (pad wires are
+    +inf), then constant-propagated and backward-pruned to only the comparators that
+    can influence the median output wire.
+    """
+    comparators, p = _batcher_comparators(n)
+    target = n // 2
+
+    # Forward constant propagation: wire state True = finite value, False = +inf.
+    # min(v, inf) = v and max(v, inf) = inf, so comparators touching an inf wire
+    # degrade to (pass-through, const) moves.
+    finite = [i < n for i in range(p)]
+    ops = []  # (kind, i, j): kind 'cmp' = compare-exchange, 'mov' = j <- i
+    for (i, j) in comparators:
+        if finite[i] and finite[j]:
+            ops.append(("cmp", i, j))
+        elif finite[i] and not finite[j]:
+            # min -> wire i keeps value; max -> inf stays at j: nothing moves
+            pass
+        elif not finite[i] and finite[j]:
+            # min(inf, v) = v -> goes to wire i; max -> inf to wire j
+            ops.append(("mov", i, j))  # ('mov', dst, src)
+            finite[i], finite[j] = True, False
+
+    # Backward pruning: track which wires can still influence the target output.
+    needed = {target}
+    kept = []
+    for kind, i, j in reversed(ops):
+        if kind == "cmp":
+            if i in needed or j in needed:
+                kept.append((kind, i, j))
+                needed.add(i)
+                needed.add(j)
+        else:  # mov j->i ... value moved from wire j to wire i
+            if i in needed:
+                kept.append((kind, i, j))
+                needed.discard(i)
+                needed.add(j)
+    kept.reverse()
+    return kept, target, p
+
+
+def _median_of(values: list) -> Array:
+    """Exact median of an odd-length list of equal-shape arrays via a pruned
+    compare-exchange network — pure min/max graphs that XLA fuses into one kernel
+    (a 25-way jnp.sort materializes ~13 full copies of the stacked array and
+    dominated AHD postprocess time/memory)."""
+    n = len(values)
+    ops, target, p = _median_network(n)
+    wires = list(values) + [None] * (p - n)  # pad wires only ever receive moves
+    for kind, i, j in ops:
+        if kind == "cmp":
+            a, b = wires[i], wires[j]
+            wires[i] = jnp.minimum(a, b)
+            wires[j] = jnp.maximum(a, b)
+        else:
+            wires[i] = wires[j]
+    return wires[target]
+
+
+def _window_views(x: Array, k: int, pad_fn) -> list:
+    p = k // 2
+    xp = pad_fn(x, p)
+    h, w = x.shape[-2], x.shape[-1]
+    return [
+        xp[..., dy : dy + h, dx : dx + w]
+        for dy in range(k)
+        for dx in range(k)
+    ]
+
+
 def median5(x: Array) -> Array:
     """cv2.medianBlur(src, 5) equivalent for float32 (replicate border).
 
-    Exact 25-element median via sort along the window axis. (Pallas selection-network
-    kernel is the fast path; this XLA version is the portable fallback.)
-    """
-    stack = _window_stack(x, 5, pad_replicate)
-    return jnp.sort(stack, axis=0)[12]
+    Exact 25-element median via a pruned Batcher network (fusable min/max ops)."""
+    return _median_of(_window_views(x, 5, pad_replicate))
 
 
 def median3(x: Array) -> Array:
     """cv2.medianBlur(src, 3) equivalent for float32 (replicate border)."""
-    stack = _window_stack(x, 3, pad_replicate)
-    return jnp.sort(stack, axis=0)[4]
+    return _median_of(_window_views(x, 3, pad_replicate))
 
 
 def median2(x: Array) -> Array:
