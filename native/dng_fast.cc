@@ -1,0 +1,476 @@
+// dng_fast: native decode + preprocessing for the pysp_tpu host IO path.
+//
+// Plays the role libraw (C++) plays in the reference (image.py:224-292): getting
+// sensor data out of container files and into normalized float planes fast enough to
+// feed a TPU. Exposed as a C ABI consumed via ctypes (pysp_tpu/io/native.py).
+//
+// Components:
+//   - byteswap/widen of uncompressed 16-bit strips (multithreaded)
+//   - lossless JPEG (ITU T.81 process 14, SOF3) decoder — the compression used by
+//     essentially all compressed DNGs — plus a matching encoder (predictor 1) used
+//     for test fixtures and for writing compressed DNGs
+//   - fused black-level/saturation normalization u16 mosaic -> f32 (multithreaded)
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, no external deps)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hw_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n == 0 ? 4 : static_cast<int>(n);
+}
+
+void parallel_rows(int64_t rows, const std::function<void(int64_t, int64_t)>& fn) {
+  int nt = std::min<int64_t>(hw_threads(), rows);
+  if (nt <= 1) {
+    fn(0, rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min<int64_t>(lo + chunk, rows);
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// ---------------------------------------------------------------------------------
+// Lossless JPEG (SOF3)
+// ---------------------------------------------------------------------------------
+
+struct HuffTable {
+  // Canonical DC-style table: maps (length, code) -> ssss category 0..16
+  uint16_t min_code[17];
+  uint16_t max_code[17];  // inclusive; max_code < min_code means empty level
+  int16_t val_index[17];
+  uint8_t values[17];
+  bool present = false;
+};
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t size;
+  int64_t pos = 0;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  bool bad = false;
+
+  // JPEG entropy-coded segment: 0xFF bytes are followed by a stuffed 0x00
+  int next_byte() {
+    if (pos >= size) return -1;
+    uint8_t b = data[pos++];
+    if (b == 0xFF) {
+      if (pos < size && data[pos] == 0x00) {
+        pos++;
+      } else {
+        return -1;  // marker: end of scan
+      }
+    }
+    return b;
+  }
+
+  int get_bit() {
+    if (bitcnt == 0) {
+      int b = next_byte();
+      if (b < 0) {
+        bad = true;
+        return 0;
+      }
+      bitbuf = static_cast<uint32_t>(b);
+      bitcnt = 8;
+    }
+    bitcnt--;
+    return (bitbuf >> bitcnt) & 1;
+  }
+
+  int get_bits(int n) {
+    int v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | get_bit();
+    return v;
+  }
+};
+
+int decode_huff(BitReader& br, const HuffTable& ht) {
+  int code = 0;
+  for (int len = 1; len <= 16; ++len) {
+    code = (code << 1) | br.get_bit();
+    if (br.bad) return -1;
+    if (ht.val_index[len] >= 0 && code >= ht.min_code[len] &&
+        code <= ht.max_code[len]) {
+      return ht.values[ht.val_index[len] + (code - ht.min_code[len])];
+    }
+  }
+  return -1;
+}
+
+inline int extend(int v, int ssss) {
+  // T.81 F.2.2.1 EXTEND
+  if (ssss == 0) return 0;
+  if (ssss == 16) return 32768;  // lossless special case
+  if (v < (1 << (ssss - 1))) return v - (1 << ssss) + 1;
+  return v;
+}
+
+struct Sof3 {
+  int precision = 0;
+  int width = 0;
+  int height = 0;
+  int n_comp = 0;
+  uint8_t comp_id[4];
+  uint8_t comp_tq[4];
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decode a lossless-JPEG (SOF3) blob into out (height*width*n_comp uint16, component-
+// interleaved as stored). Returns 0 on success, negative error codes otherwise.
+// out_dims receives [height, width, n_components].
+int dng_ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
+                     int64_t out_capacity, int32_t* out_dims) {
+  if (size < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;  // no SOI
+
+  Sof3 sof;
+  HuffTable tables[4];
+  int predictor = 1;
+  int point_transform = 0;
+  uint8_t scan_comp_table[4] = {0, 0, 0, 0};
+  int64_t pos = 2;
+
+  while (pos + 4 <= size) {
+    if (data[pos] != 0xFF) return -2;
+    uint8_t marker = data[pos + 1];
+    if (marker == 0xD8) {
+      pos += 2;
+      continue;
+    }
+    int seg_len = (data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* seg = data + pos + 4;
+    int64_t body = seg_len - 2;
+
+    if (marker == 0xC3) {  // SOF3
+      sof.precision = seg[0];
+      sof.height = (seg[1] << 8) | seg[2];
+      sof.width = (seg[3] << 8) | seg[4];
+      sof.n_comp = seg[5];
+      if (sof.n_comp < 1 || sof.n_comp > 4) return -3;
+      for (int c = 0; c < sof.n_comp; ++c) {
+        sof.comp_id[c] = seg[6 + 3 * c];
+        // sampling factors seg[7+3c] must be 1x1 for our path
+        if (seg[7 + 3 * c] != 0x11) return -4;
+      }
+    } else if (marker == 0xC4) {  // DHT
+      int64_t off = 0;
+      while (off + 17 <= body) {
+        int th = seg[off] & 0x0F;
+        if (th > 3) return -5;
+        HuffTable& ht = tables[th];
+        ht.present = true;
+        int counts[17];
+        int total = 0;
+        for (int i = 1; i <= 16; ++i) {
+          counts[i] = seg[off + i];
+          total += counts[i];
+        }
+        if (total > 17 || off + 17 + total > body) return -6;
+        // canonical codes: values listed in length order
+        int code = 0, k = 0;
+        for (int len = 1; len <= 16; ++len) {
+          if (counts[len] > 0) {
+            ht.val_index[len] = static_cast<int16_t>(k);
+            ht.min_code[len] = static_cast<uint16_t>(code);
+            ht.max_code[len] = static_cast<uint16_t>(code + counts[len] - 1);
+            for (int i = 0; i < counts[len]; ++i) {
+              ht.values[k] = seg[off + 17 + k];
+              k++;
+            }
+            code += counts[len];
+          } else {
+            ht.val_index[len] = -1;
+            ht.min_code[len] = 1;
+            ht.max_code[len] = 0;
+          }
+          code <<= 1;
+        }
+        off += 17 + total;
+      }
+    } else if (marker == 0xDA) {  // SOS
+      int ns = seg[0];
+      if (ns != sof.n_comp) return -7;
+      for (int c = 0; c < ns; ++c) {
+        uint8_t cs = seg[1 + 2 * c];
+        uint8_t td = seg[2 + 2 * c] >> 4;
+        int idx = -1;
+        for (int k = 0; k < sof.n_comp; ++k)
+          if (sof.comp_id[k] == cs) idx = k;
+        if (idx < 0) return -8;
+        scan_comp_table[idx] = td;
+      }
+      predictor = seg[1 + 2 * ns];          // Ss
+      point_transform = seg[3 + 2 * ns] & 0x0F;  // Al
+      pos += 4 + body;
+
+      // --- entropy-coded scan ---
+      int W = sof.width, H = sof.height, NC = sof.n_comp;
+      int64_t total = static_cast<int64_t>(W) * H * NC;
+      if (total > out_capacity) return -9;
+
+      BitReader br{data + pos, size - pos};
+      int default_val = 1 << (sof.precision - point_transform - 1);
+
+      std::vector<int32_t> prev_row(static_cast<size_t>(W) * NC);
+      std::vector<int32_t> cur_row(static_cast<size_t>(W) * NC);
+
+      for (int y = 0; y < H; ++y) {
+        for (int x = 0; x < W; ++x) {
+          for (int c = 0; c < NC; ++c) {
+            const HuffTable& ht = tables[scan_comp_table[c]];
+            int ssss = decode_huff(br, ht);
+            if (ssss < 0 || br.bad) return -10;
+            int diff = extend(ssss == 16 ? 0 : br.get_bits(ssss), ssss);
+
+            int32_t pred;
+            int32_t ra = (x > 0) ? cur_row[(x - 1) * NC + c] : 0;
+            int32_t rb = (y > 0) ? prev_row[x * NC + c] : 0;
+            int32_t rc = (y > 0 && x > 0) ? prev_row[(x - 1) * NC + c] : 0;
+
+            if (y == 0 && x == 0) {
+              pred = default_val;
+            } else if (y == 0) {
+              pred = ra;
+            } else if (x == 0) {
+              pred = rb;
+            } else {
+              switch (predictor) {
+                case 1: pred = ra; break;
+                case 2: pred = rb; break;
+                case 3: pred = rc; break;
+                case 4: pred = ra + rb - rc; break;
+                case 5: pred = ra + ((rb - rc) >> 1); break;
+                case 6: pred = rb + ((ra - rc) >> 1); break;
+                case 7: pred = (ra + rb) >> 1; break;
+                default: pred = ra; break;
+              }
+            }
+            int32_t v = (pred + diff) & 0xFFFF;
+            cur_row[x * NC + c] = v;
+            out[(static_cast<int64_t>(y) * W + x) * NC + c] =
+                static_cast<uint16_t>(v << point_transform);
+          }
+        }
+        std::swap(prev_row, cur_row);
+      }
+
+      out_dims[0] = H;
+      out_dims[1] = W;
+      out_dims[2] = NC;
+      return 0;
+    } else if (marker == 0xD9) {  // EOI before SOS
+      return -11;
+    } else {
+      // skip other segments (APPn, COM, ...)
+    }
+    pos += 4 + body;
+  }
+  return -12;
+}
+
+// Encode rows (height*width*n_comp uint16, interleaved) as lossless JPEG SOF3 with
+// predictor 1 and a single shared Huffman table. Returns encoded size, or negative.
+int64_t dng_ljpeg_encode(const uint16_t* img, int32_t height, int32_t width,
+                         int32_t n_comp, int32_t precision, uint8_t* out,
+                         int64_t out_capacity) {
+  if (n_comp < 1 || n_comp > 4 || precision < 2 || precision > 16) return -1;
+
+  // Histogram of ssss categories to build the table? Keep it simple: fixed table
+  // with all categories 0..16 present (lengths chosen ascending).
+  // counts per code length: lengths 2..6 carry most categories.
+  // A simple valid canonical table: category i gets length ~ i+2 clipped.
+  uint8_t bits[17] = {0};
+  uint8_t huffval[17];
+  // categories 0..16 -> 17 values; assign lengths: 0..1 ->2, rest increasing
+  int lens[17];
+  lens[0] = 2; lens[1] = 2; lens[2] = 2;
+  for (int i = 3; i <= 16; ++i) lens[i] = std::min(16, i);
+  // canonical requires counts per length with kraft <= 1; compute
+  for (int i = 0; i <= 16; ++i) bits[lens[i]]++;
+  // order values by length (stable by category)
+  int k = 0;
+  for (int len = 1; len <= 16; ++len)
+    for (int i = 0; i <= 16; ++i)
+      if (lens[i] == len) huffval[k++] = static_cast<uint8_t>(i);
+
+  // derive canonical codes
+  uint16_t code_of[17];
+  int len_of[17];
+  {
+    int code = 0, idx = 0;
+    for (int len = 1; len <= 16; ++len) {
+      for (int i = 0; i < bits[len]; ++i) {
+        code_of[huffval[idx]] = static_cast<uint16_t>(code);
+        len_of[huffval[idx]] = len;
+        code++;
+        idx++;
+      }
+      code <<= 1;
+    }
+  }
+
+  // --- write headers ---
+  int64_t p = 0;
+  auto put = [&](uint8_t b) {
+    if (p < out_capacity) out[p] = b;
+    p++;
+  };
+  auto put16 = [&](int v) {
+    put(static_cast<uint8_t>(v >> 8));
+    put(static_cast<uint8_t>(v & 0xFF));
+  };
+
+  put(0xFF); put(0xD8);  // SOI
+  // DHT
+  {
+    int total = 17;
+    put(0xFF); put(0xC4);
+    put16(2 + 1 + 16 + total);
+    put(0x00);  // class 0, id 0
+    for (int len = 1; len <= 16; ++len) put(bits[len]);
+    for (int i = 0; i < total; ++i) put(huffval[i]);
+  }
+  // SOF3
+  {
+    put(0xFF); put(0xC3);
+    put16(8 + 3 * n_comp);
+    put(static_cast<uint8_t>(precision));
+    put16(height);
+    put16(width);
+    put(static_cast<uint8_t>(n_comp));
+    for (int c = 0; c < n_comp; ++c) {
+      put(static_cast<uint8_t>(c));
+      put(0x11);
+      put(0x00);
+    }
+  }
+  // SOS
+  {
+    put(0xFF); put(0xDA);
+    put16(6 + 2 * n_comp);
+    put(static_cast<uint8_t>(n_comp));
+    for (int c = 0; c < n_comp; ++c) {
+      put(static_cast<uint8_t>(c));
+      put(0x00);
+    }
+    put(0x01);  // predictor 1
+    put(0x00);
+    put(0x00);  // point transform 0
+  }
+
+  // --- entropy-coded data ---
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  auto flush_byte = [&](uint8_t b) {
+    put(b);
+    if (b == 0xFF) put(0x00);  // stuffing
+  };
+  auto put_bits = [&](uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) {
+      bitbuf = (bitbuf << 1) | ((v >> i) & 1);
+      bitcnt++;
+      if (bitcnt == 8) {
+        flush_byte(static_cast<uint8_t>(bitbuf & 0xFF));
+        bitbuf = 0;
+        bitcnt = 0;
+      }
+    }
+  };
+
+  int default_val = 1 << (precision - 1);
+  std::vector<int32_t> prev_row(static_cast<size_t>(width) * n_comp);
+  std::vector<int32_t> cur_row(static_cast<size_t>(width) * n_comp);
+
+  for (int y = 0; y < height; ++y) {
+    for (int x = 0; x < width; ++x) {
+      for (int c = 0; c < n_comp; ++c) {
+        int32_t v = img[(static_cast<int64_t>(y) * width + x) * n_comp + c];
+        cur_row[x * n_comp + c] = v;
+        int32_t pred;
+        if (y == 0 && x == 0) pred = default_val;
+        else if (y == 0) pred = cur_row[(x - 1) * n_comp + c];
+        else if (x == 0) pred = prev_row[x * n_comp + c];
+        else pred = cur_row[(x - 1) * n_comp + c];  // predictor 1
+
+        int32_t diff = v - pred;
+        // wrap to 16-bit modulo domain
+        diff = static_cast<int16_t>(diff & 0xFFFF);
+        int ssss = 0;
+        int32_t a = diff < 0 ? -diff : diff;
+        while (a > 0) {
+          ssss++;
+          a >>= 1;
+        }
+        put_bits(code_of[ssss], len_of[ssss]);
+        if (ssss > 0 && ssss < 16) {
+          int32_t val = diff;
+          if (diff < 0) val = diff + (1 << ssss) - 1;
+          put_bits(static_cast<uint32_t>(val) & ((1u << ssss) - 1), ssss);
+        }
+      }
+    }
+    std::swap(prev_row, cur_row);
+  }
+  if (bitcnt > 0) {
+    bitbuf <<= (8 - bitcnt);
+    bitbuf |= (1 << (8 - bitcnt)) - 1;  // pad with 1s
+    flush_byte(static_cast<uint8_t>(bitbuf & 0xFF));
+  }
+  put(0xFF); put(0xD9);  // EOI
+
+  return (p <= out_capacity) ? p : -2;
+}
+
+// u16 mosaic -> f32 normalized mosaic: clip(x - black[phase], 0, sat[phase]) / sat.
+// Phases in RGGB order (R, G1, B, G2) matching normalization.py:19-23.
+void dng_normalize_mosaic(const uint16_t* in, float* out, int64_t height,
+                          int64_t width, const float* black4,
+                          const float* sat4) {
+  parallel_rows(height, [&](int64_t lo, int64_t hi) {
+    for (int64_t y = lo; y < hi; ++y) {
+      int row_phase = (y & 1) << 1;
+      const uint16_t* src = in + y * width;
+      float* dst = out + y * width;
+      for (int64_t x = 0; x < width; ++x) {
+        int phase_idx = row_phase | (x & 1);
+        // map (row,col) phase to RGGB plane index: (0,0)->0 R, (0,1)->1 G1,
+        // (1,0)->3 G2, (1,1)->2 B
+        static const int lut[4] = {0, 1, 3, 2};
+        int p = lut[phase_idx];
+        float v = static_cast<float>(src[x]) - black4[p];
+        if (v < 0) v = 0;
+        if (v > sat4[p]) v = sat4[p];
+        dst[x] = v / sat4[p];
+      }
+    }
+  });
+}
+
+// big-endian u16 strip -> native u16 (multithreaded)
+void dng_swap16(const uint8_t* in, uint16_t* out, int64_t count) {
+  parallel_rows(count, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      out[i] = static_cast<uint16_t>((in[2 * i] << 8) | in[2 * i + 1]);
+    }
+  });
+}
+
+}  // extern "C"

@@ -1,0 +1,159 @@
+"""ctypes bindings for the native decode library (native/dng_fast.cc).
+
+The native library plays libraw's role in the reference (SURVEY.md §2.9 item 3):
+fast host-side decode feeding device arrays. Gracefully degrades — ``available()``
+returns False when the .so hasn't been built, and pure-Python fallbacks take over
+(slower, same results).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libdng_fast.so",
+    )
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    lib.dng_ljpeg_decode.restype = ctypes.c_int
+    lib.dng_ljpeg_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.dng_ljpeg_encode.restype = ctypes.c_int64
+    lib.dng_ljpeg_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.dng_normalize_mosaic.restype = None
+    lib.dng_normalize_mosaic.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dng_swap16.restype = None
+    lib.dng_swap16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ljpeg_decode(blob: bytes, max_pixels: int = 1 << 28) -> np.ndarray:
+    """Decode a lossless-JPEG (SOF3) blob -> (H, W, C) uint16 (C squeezed if 1)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    out = np.empty(max_pixels, np.uint16)
+    dims = (ctypes.c_int32 * 3)()
+    rc = lib.dng_ljpeg_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.size,
+        dims,
+    )
+    if rc != 0:
+        raise ValueError(f"lossless JPEG decode failed (code {rc})")
+    h, w, c = dims[0], dims[1], dims[2]
+    arr = out[: h * w * c].reshape(h, w, c).copy()
+    return arr[..., 0] if c == 1 else arr
+
+
+def ljpeg_encode(img: np.ndarray, precision: int = 16) -> bytes:
+    """Encode (H, W) or (H, W, C) uint16 as lossless JPEG SOF3, predictor 1."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    flat = np.ascontiguousarray(img, np.uint16)
+    cap = flat.size * 4 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.dng_ljpeg_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h,
+        w,
+        c,
+        precision,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"lossless JPEG encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def normalize_mosaic(
+    mosaic_u16: np.ndarray, black4: np.ndarray, sat4: np.ndarray
+) -> np.ndarray:
+    """Multithreaded u16 mosaic -> normalized f32 (RGGB plane levels)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    h, w = mosaic_u16.shape
+    src = np.ascontiguousarray(mosaic_u16, np.uint16)
+    out = np.empty((h, w), np.float32)
+    b = np.ascontiguousarray(black4, np.float32)
+    s = np.ascontiguousarray(sat4, np.float32)
+    lib.dng_normalize_mosaic(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h,
+        w,
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def swap16(data: bytes) -> np.ndarray:
+    """Big-endian byte pairs -> native uint16 array (multithreaded)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    count = len(data) // 2
+    out = np.empty(count, np.uint16)
+    lib.dng_swap16(data, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), count)
+    return out

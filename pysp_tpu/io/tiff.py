@@ -60,6 +60,10 @@ TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_SUB_IFD = 330
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
 TAG_CFA_REPEAT_PATTERN_DIM = 33421
 TAG_CFA_PATTERN = 33422
 TAG_EXPOSURE_TIME = 33434
@@ -81,6 +85,21 @@ TAG_ACTIVE_AREA = 50829
 TAG_OPCODE_LIST_3 = 51022
 
 PHOTOMETRIC_CFA = 32803
+
+
+def _assemble_tiles(flat, height, width, tile_h, tile_w, n_tiles):
+    """Reassemble row-major fixed-size tiles into an (H, W) image."""
+    out = np.zeros((height, width), flat.dtype)
+    tiles_x = max(1, -(-width // tile_w))
+    per_tile = tile_h * tile_w
+    for idx in range(n_tiles):
+        ty, tx = divmod(idx, tiles_x)
+        y0, x0 = ty * tile_h, tx * tile_w
+        piece = flat[idx * per_tile : (idx + 1) * per_tile].reshape(tile_h, tile_w)
+        h_eff = min(tile_h, height - y0)
+        w_eff = min(tile_w, width - x0)
+        out[y0 : y0 + h_eff, x0 : x0 + w_eff] = piece[:h_eff, :w_eff]
+    return out
 
 
 @dataclass
@@ -137,26 +156,66 @@ class TiffFile:
         return None
 
     def read_strips(self, ifd: Ifd) -> np.ndarray:
-        """Decode uncompressed strip data from an IFD into (H, W) uint8/uint16."""
-        comp = ifd.get(TAG_COMPRESSION)
-        if comp is not None and comp.as_ints()[0] != 1:
-            raise ValueError(
-                f"Unsupported TIFF compression {comp.as_ints()[0]} (only uncompressed)"
-            )
+        """Decode image data from an IFD into (H, W) uint8/uint16.
+
+        Supports uncompressed (1) and lossless-JPEG (7, the DNG standard raw
+        compression — decoded by the native library) data, in both strip and tile
+        organizations.
+        """
+        comp_tag = ifd.get(TAG_COMPRESSION)
+        compression = comp_tag.as_ints()[0] if comp_tag is not None else 1
         width = ifd.get(TAG_IMAGE_WIDTH).as_ints()[0]
         height = ifd.get(TAG_IMAGE_LENGTH).as_ints()[0]
         bits = ifd.get(TAG_BITS_PER_SAMPLE).as_ints()[0]
-        offsets = ifd.get(TAG_STRIP_OFFSETS).as_ints()
-        counts = ifd.get(TAG_STRIP_BYTE_COUNTS).as_ints()
 
-        raw = b"".join(self.data[o : o + c] for o, c in zip(offsets, counts))
-        if bits == 16:
-            arr = np.frombuffer(raw, dtype=np.dtype(self.endian + "u2"))
-        elif bits == 8:
-            arr = np.frombuffer(raw, dtype=np.uint8)
+        tiled = ifd.get(TAG_TILE_OFFSETS) is not None
+        if tiled:
+            offsets = ifd.get(TAG_TILE_OFFSETS).as_ints()
+            counts = ifd.get(TAG_TILE_BYTE_COUNTS).as_ints()
+            tile_w = ifd.get(TAG_TILE_WIDTH).as_ints()[0]
+            tile_h = ifd.get(TAG_TILE_LENGTH).as_ints()[0]
         else:
-            raise ValueError(f"Unsupported bit depth {bits}")
-        return arr.reshape(height, width)
+            offsets = ifd.get(TAG_STRIP_OFFSETS).as_ints()
+            counts = ifd.get(TAG_STRIP_BYTE_COUNTS).as_ints()
+            rps_tag = ifd.get(TAG_ROWS_PER_STRIP)
+            tile_w = width
+            tile_h = rps_tag.as_ints()[0] if rps_tag is not None else height
+
+        if compression == 1:
+            raw = b"".join(self.data[o : o + c] for o, c in zip(offsets, counts))
+            if bits == 16:
+                arr = np.frombuffer(raw, dtype=np.dtype(self.endian + "u2"))
+            elif bits == 8:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+            else:
+                raise ValueError(f"Unsupported bit depth {bits}")
+            if not tiled:
+                return arr.reshape(height, width)
+            return _assemble_tiles(arr, height, width, tile_h, tile_w, len(offsets))
+
+        if compression == 7:  # lossless JPEG (DNG)
+            from . import native
+
+            if not native.available():
+                raise ValueError(
+                    "Lossless-JPEG DNG needs the native decoder: make -C native"
+                )
+            out = np.zeros((height, width), np.uint16)
+            tiles_x = max(1, -(-width // tile_w))
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                piece = native.ljpeg_decode(bytes(self.data[o : o + c]))
+                if piece.ndim == 3:
+                    # N-component scan spans N adjacent columns per sample
+                    ph, pw, pc = piece.shape
+                    piece = piece.reshape(ph, pw * pc)
+                ty, tx = divmod(idx, tiles_x)
+                y0, x0 = ty * tile_h, tx * tile_w
+                h_eff = min(tile_h, height - y0)
+                w_eff = min(tile_w, width - x0)
+                out[y0 : y0 + h_eff, x0 : x0 + w_eff] = piece[:h_eff, :w_eff]
+            return out
+
+        raise ValueError(f"Unsupported TIFF compression {compression}")
 
 
 def _read_value(data: bytes, endian: str, dtype: int, count: int, raw: bytes) -> Any:
@@ -353,6 +412,7 @@ def write_synthetic_dng(
     bayer_u16: np.ndarray,
     black_level: int = 256,
     white_level: int = 4095,
+    compression: int = 1,
     cfa_pattern: Tuple[int, int, int, int] = (0, 1, 1, 2),  # RGGB (0=R,1=G,2=B)
     color_matrix_1: Optional[np.ndarray] = None,
     color_matrix_2: Optional[np.ndarray] = None,
@@ -391,7 +451,7 @@ def write_synthetic_dng(
         TAG_IMAGE_WIDTH: (TYPE_LONG, [w]),
         TAG_IMAGE_LENGTH: (TYPE_LONG, [h]),
         TAG_BITS_PER_SAMPLE: (TYPE_SHORT, [16]),
-        TAG_COMPRESSION: (TYPE_SHORT, [1]),
+        TAG_COMPRESSION: (TYPE_SHORT, [compression]),
         TAG_PHOTOMETRIC: (TYPE_SHORT, [PHOTOMETRIC_CFA]),
         TAG_SAMPLES_PER_PIXEL: (TYPE_SHORT, [1]),
         TAG_ROWS_PER_STRIP: (TYPE_LONG, [h]),
@@ -431,5 +491,10 @@ def write_synthetic_dng(
         TAG_ISO_SPEED: (TYPE_SHORT, [iso]),
     }
 
-    strip = np.ascontiguousarray(bayer_u16.astype("<u2")).tobytes()
+    if compression == 7:
+        from . import native
+
+        strip = native.ljpeg_encode(bayer_u16.astype(np.uint16), precision=16)
+    else:
+        strip = np.ascontiguousarray(bayer_u16.astype("<u2")).tobytes()
     return TiffWriter().write(ifd0, sub, exif, strip_data=strip)

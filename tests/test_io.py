@@ -130,3 +130,64 @@ def test_end_to_end_dng_develop():
     assert out.shape == (64, 64, 3)
     assert np.all(np.isfinite(out))
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_ljpeg_compressed_dng():
+    """Lossless-JPEG (compression 7) DNG decode via the native library."""
+    from pysp_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native libdng_fast.so not built")
+
+    bayer = make_bayer_u16(48, 56, seed=9)
+    blob_c = T.write_synthetic_dng(bayer, compression=7)
+    blob_u = T.write_synthetic_dng(bayer, compression=1)
+    assert blob_c != blob_u
+
+    tf = T.read_tiff(blob_c)
+    got = tf.read_strips(tf.find_raw_ifd())
+    np.testing.assert_array_equal(got, bayer)
+
+    f_c = load_raw_dng(blob_c)
+    f_u = load_raw_dng(blob_u)
+    np.testing.assert_allclose(np.asarray(f_c.bayer), np.asarray(f_u.bayer))
+
+
+def test_native_ljpeg_roundtrip_edge_cases():
+    from pysp_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native libdng_fast.so not built")
+
+    rng = np.random.default_rng(10)
+    # worst-case random data, 1 and 2 components, extreme diffs
+    for img in [
+        rng.integers(0, 65536, (33, 47), np.int64).astype(np.uint16),
+        rng.integers(0, 65536, (16, 24, 2), np.int64).astype(np.uint16),
+        np.array([[0, 65535], [65535, 0]], np.uint16),
+    ]:
+        blob = native.ljpeg_encode(img)
+        back = native.ljpeg_decode(blob)
+        np.testing.assert_array_equal(back, img)
+
+
+def test_native_normalize_matches_python():
+    from pysp_tpu.io import native
+    from pysp_tpu.io.raw_loader import _normalize_host
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native libdng_fast.so not built")
+
+    rng = np.random.default_rng(11)
+    mosaic = rng.integers(0, 4096, (64, 80), np.int64).astype(np.uint16)
+    black = np.array([256, 255, 254, 257], np.float64)
+    sat = np.array([4095, 4094, 4093, 4092], np.float64)
+    got = native.normalize_mosaic(mosaic, black, sat)
+    want = _normalize_host(mosaic, black, sat)
+    np.testing.assert_allclose(got, want, atol=1e-7)
