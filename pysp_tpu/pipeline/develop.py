@@ -63,3 +63,19 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
 def develop_burst(frames: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
     """Develop a burst: every pytree leaf of ``frames`` carries a leading batch axis."""
     return jax.vmap(lambda f: develop.__wrapped__(f, cfg))(frames)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def develop_with_stats(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()):
+    """Develop + structured per-stage statistics, one fused program.
+
+    The observability the reference lacks (SURVEY.md §5): sensor clip fractions and
+    output saturation stats ride along as scalars — negligible extra compute, no
+    extra HBM passes.
+    """
+    from ..utils.tracing import bayer_stats, rgb_stats
+
+    stats = {"sensor": bayer_stats(frame.bayer, frame.lim_sat)}
+    out = develop.__wrapped__(frame, cfg)
+    stats["output"] = rgb_stats(out)
+    return out, stats

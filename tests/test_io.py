@@ -191,3 +191,14 @@ def test_native_normalize_matches_python():
     got = native.normalize_mosaic(mosaic, black, sat)
     want = _normalize_host(mosaic, black, sat)
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_develop_with_stats():
+    from pysp_tpu.pipeline.develop import develop_with_stats
+
+    bayer = make_bayer_u16(32, 32, seed=4)
+    frame = load_raw_dng(T.write_synthetic_dng(bayer))
+    out, stats = develop_with_stats(frame, DevelopConfig(quality=QualityDemosaic.Draft))
+    assert out.shape == (32, 32, 3)
+    assert 0.0 <= float(stats["sensor"]["clip_high_frac"]) <= 1.0
+    assert stats["output"]["mean_rgb"].shape == (3,)
