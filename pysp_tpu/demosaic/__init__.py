@@ -19,6 +19,7 @@ def demosaic(
     frame: RawFrame,
     quality: QualityDemosaic = QualityDemosaic.Best,
     postprocess_steps: int = 1,
+    use_pallas: bool = False,
 ) -> DevelopedImage:
     """Demosaic a canonical-RGGB frame at the requested quality tier.
 
@@ -26,7 +27,9 @@ def demosaic(
     source pattern happens in the develop pipeline, mirroring image.py:181.
     """
     if quality == QualityDemosaic.Best:
-        return demosaic_ahd(frame, postprocess_stages=postprocess_steps)
+        return demosaic_ahd(
+            frame, postprocess_stages=postprocess_steps, use_pallas=use_pallas
+        )
     if quality == QualityDemosaic.Fast:
         return demosaic_eag(frame)
     if quality == QualityDemosaic.Draft:

@@ -12,6 +12,7 @@ one XLA program and is vmappable over burst frames.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,8 +35,14 @@ _H = _H_OPTIMAL * _RATIO_OPTIMAL + _H_FAST * (1 - _RATIO_OPTIMAL)
 _H = (_H / _H.sum()).astype(np.float32)
 
 
+def _use_pallas(flag: bool) -> bool:
+    """Pallas kernels only on a real TPU backend; XLA fallbacks elsewhere."""
+    return flag and jax.default_backend() == "tpu"
+
+
 def _build_homogeneity_map(
-    r: Array, g: Array, b: Array, frame: RawFrame, is_vertical: bool
+    r: Array, g: Array, b: Array, frame: RawFrame, is_vertical: bool,
+    use_pallas: bool = False,
 ) -> Array:
     """LAB homogeneity for one direction (ahd.py:32-67).
 
@@ -63,22 +70,33 @@ def _build_homogeneity_map(
     else:
         lab = rgb_to_lab(im_rgb)
 
+    if _use_pallas(use_pallas):
+        from ..ops.pallas_kernels import homogeneity_map_pallas
+
+        return homogeneity_map_pallas(lab, is_vertical)
     return homogeneity_map(lab, is_vertical)
 
 
-def postprocess_color(image: Array) -> Array:
+def postprocess_color(image: Array, use_pallas: bool = False) -> Array:
     """One chroma-median stage (ahd.py:148-161): median5 on color differences."""
+    if _use_pallas(use_pallas):
+        from ..ops.pallas_kernels import median5_pallas as med
+    else:
+        med = median5
+
     r = image[..., 0]
     g = image[..., 1]
     b = image[..., 2]
 
-    r = median5(r - g) + g
-    b = median5(b - g) + g
-    g = (median5(g - r) + median5(g - b) + r + b) * 0.5
+    r = med(r - g) + g
+    b = med(b - g) + g
+    g = (med(g - r) + med(g - b) + r + b) * 0.5
     return jnp.stack([r, g, b], axis=-1)
 
 
-def demosaic_ahd(frame: RawFrame, postprocess_stages: int = 1) -> DevelopedImage:
+def demosaic_ahd(
+    frame: RawFrame, postprocess_stages: int = 1, use_pallas: bool = False
+) -> DevelopedImage:
     r0, g1_0, b0, g2_0 = bayer_to_rgbg(frame.bayer)
     wb = frame.wb_reciprocal()
 
@@ -143,8 +161,8 @@ def demosaic_ahd(frame: RawFrame, postprocess_stages: int = 1) -> DevelopedImage
     b_v = resample_channel(b_c, gv_b, delta_gv_hf, BayerPatternPosition.BOTTOM_RIGHT)
 
     # Direction decision on box-blurred homogeneity (ahd.py:129-145).
-    map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False))
-    map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True))
+    map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
+    map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
 
     pick_h = (map_h < map_v).astype(jnp.float32)[..., None]
     rgb_h = jnp.stack([r_h, g_h, b_h], axis=-1)
@@ -152,7 +170,7 @@ def demosaic_ahd(frame: RawFrame, postprocess_stages: int = 1) -> DevelopedImage
     debayered = rgb_h * pick_h + rgb_v * (1.0 - pick_h)
 
     for _ in range(max(int(postprocess_stages), 0)):
-        debayered = postprocess_color(debayered)
+        debayered = postprocess_color(debayered, use_pallas)
 
     return DevelopedImage(
         image=debayered.astype(jnp.float32),

@@ -1,0 +1,170 @@
+"""Pallas TPU kernels for the stencils XLA won't fuse tightly enough.
+
+Two hot spots remain after the XLA-level work (see ops/stencil.py): the 5x5 median
+(XLA materializes the 25 shifted window views => ~26 HBM passes) and the AHD
+homogeneity count (ditto for 9+2 views x 3 channels). Both are classic VMEM-tiled
+stencils: DMA one row-band per grid step, compute every shifted view out of VMEM,
+write one output band — a single read + write of HBM per pixel.
+
+Each kernel has an XLA fallback (ops.stencil / demosaic.homogeneity); the dispatchers
+here fall back automatically off-TPU or for shapes the tiling doesn't cover.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import _median_network, median5 as median5_xla
+
+Array = jnp.ndarray
+
+_PAD = 2  # 5x5 stencil reach
+
+
+def _pick_tile(h: int, max_tile: int = 256) -> int:
+    for cand in range(min(max_tile, h), 7, -8):
+        if h % cand == 0:
+            return cand
+    return 0
+
+
+def _median5_kernel(x_hbm, out_ref, scratch, sem, *, tile_h: int, width: int):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _PAD), :],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    views = []
+    for dy in range(5):
+        for dx in range(5):
+            views.append(scratch[dy : dy + tile_h, dx : dx + width])
+
+    ops, target, p = _median_network(25)
+    wires = list(views) + [None] * (p - 25)
+    for kind, a, b in ops:
+        if kind == "cmp":
+            lo = jnp.minimum(wires[a], wires[b])
+            hi = jnp.maximum(wires[a], wires[b])
+            wires[a], wires[b] = lo, hi
+        else:
+            wires[a] = wires[b]
+    out_ref[:] = wires[target]
+
+
+def median5_pallas(x: Array, tile_h: int = 0) -> Array:
+    """cv2.medianBlur(5) equivalent: VMEM-banded Pallas kernel, replicate border."""
+    h, w = x.shape
+    if tile_h == 0:
+        tile_h = _pick_tile(h)
+    if tile_h == 0:
+        return median5_xla(x)
+
+    padded = jnp.pad(x, ((_PAD, _PAD), (_PAD, _PAD)), mode="edge")
+
+    kernel = partial(_median5_kernel, tile_h=tile_h, width=w)
+    return pl.pallas_call(
+        kernel,
+        grid=(h // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _PAD, w + 2 * _PAD), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(padded)
+
+
+def _homogeneity_kernel(
+    l_hbm, a_hbm, b_hbm, out_ref, l_s, a_s, b_s, sems, *,
+    tile_h: int, width: int, is_vertical: bool
+):
+    i = pl.program_id(0)
+    copies = []
+    for src, dst, k in ((l_hbm, l_s, 0), (a_hbm, a_s, 1), (b_hbm, b_s, 2)):
+        dma = pltpu.make_async_copy(
+            src.at[pl.ds(i * tile_h, tile_h + 2), :], dst, sems.at[k]
+        )
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
+    th, w = tile_h, width
+
+    def win(ref, dy, dx):
+        return ref[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + w]
+
+    lum = win(l_s, 0, 0)
+    aa = win(a_s, 0, 0)
+    bb = win(b_s, 0, 0)
+
+    if is_vertical:
+        n1 = (win(l_s, -1, 0), win(a_s, -1, 0), win(b_s, -1, 0))
+        n2 = (win(l_s, 1, 0), win(a_s, 1, 0), win(b_s, 1, 0))
+    else:
+        n1 = (win(l_s, 0, -1), win(a_s, 0, -1), win(b_s, 0, -1))
+        n2 = (win(l_s, 0, 1), win(a_s, 0, 1), win(b_s, 0, 1))
+
+    eps_l = jnp.maximum(jnp.abs(lum - n1[0]), jnp.abs(lum - n2[0]))
+    eps_c2 = jnp.maximum(
+        (aa - n1[1]) ** 2 + (bb - n1[2]) ** 2,
+        (aa - n2[1]) ** 2 + (bb - n2[2]) ** 2,
+    )
+
+    count = jnp.zeros((th, w), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            wl = win(l_s, dy, dx)
+            wa = win(a_s, dy, dx)
+            wb = win(b_s, dy, dx)
+            ok = ((wl - lum) <= eps_l) & (
+                ((wa - aa) ** 2 + (wb - bb) ** 2) <= eps_c2
+            )
+            count = count + ok.astype(jnp.float32)
+    out_ref[:] = count
+
+
+def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Array:
+    """AHD homogeneity count (demosaic/homogeneity.py semantics) as one VMEM pass."""
+    from ..demosaic.homogeneity import homogeneity_map as homogeneity_xla
+
+    h, w = lab.shape[0], lab.shape[1]
+    if tile_h == 0:
+        tile_h = _pick_tile(h)
+    if tile_h == 0 or lab.ndim != 3:
+        return homogeneity_xla(lab, is_vertical)
+
+    planes = [
+        jnp.pad(lab[..., c], ((1, 1), (1, 1)), mode="symmetric") for c in range(3)
+    ]
+
+    kernel = partial(
+        _homogeneity_kernel, tile_h=tile_h, width=w, is_vertical=is_vertical
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(h // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(*planes)

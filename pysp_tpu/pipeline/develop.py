@@ -37,11 +37,14 @@ class DevelopConfig:
     postprocess_stages: int = 1
     clip_highlights: bool = True
     gamma_encode: bool = True
+    # Pallas stencil kernels (median, homogeneity) on TPU; ignored off-TPU.
+    # develop_burst forces them off (manual-DMA kernels are not vmapped).
+    use_pallas: bool = True
 
 
 def develop_to_image(frame: RawFrame, cfg: DevelopConfig) -> DevelopedImage:
     """Demosaic + un-canonicalize to the source pattern orientation (image.py:177-183)."""
-    dev = demosaic(frame, cfg.quality, cfg.postprocess_stages)
+    dev = demosaic(frame, cfg.quality, cfg.postprocess_stages, cfg.use_pallas)
     if frame.source_pattern != BayerPattern.Rggb:
         dev = dev.replace(
             image=reversible_transform_rggb(dev.image, frame.source_pattern)
@@ -62,6 +65,7 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
 @partial(jax.jit, static_argnames=("cfg",))
 def develop_burst(frames: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
     """Develop a burst: every pytree leaf of ``frames`` carries a leading batch axis."""
+    cfg = dataclasses.replace(cfg, use_pallas=False)
     return jax.vmap(lambda f: develop.__wrapped__(f, cfg))(frames)
 
 
