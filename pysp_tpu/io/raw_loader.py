@@ -218,3 +218,30 @@ def load_raw(source: Source) -> RawFrame:
     cam_wb = CameraWhiteBalanceController(mats, neutral)
     ev = compute_ev_from_tiff(source)
     return frame_from_parts(sensor, pattern, cam_wb, ev)
+
+
+def load_burst(sources, max_workers: int = 8) -> RawFrame:
+    """Load a burst of raw files concurrently into one batched RawFrame.
+
+    Decode is host-bound (native LJPEG + metadata parse), so files load in a thread
+    pool; all frames must share sensor shape and CFA pattern. The result has a leading
+    batch axis on every pytree leaf — ready for develop_burst / develop_burst_sharded.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    if len(sources) == 0:
+        raise ValueError("load_burst needs at least one source")
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(sources))) as pool:
+        frames = list(pool.map(load_raw, sources))
+
+    shapes = {f.bayer.shape for f in frames}
+    patterns = {f.source_pattern for f in frames}
+    if len(shapes) != 1 or len(patterns) != 1:
+        raise ValueError(
+            f"burst frames disagree: shapes={shapes}, patterns={patterns}"
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)

@@ -202,3 +202,19 @@ def test_develop_with_stats():
     assert out.shape == (32, 32, 3)
     assert 0.0 <= float(stats["sensor"]["clip_high_frac"]) <= 1.0
     assert stats["output"]["mean_rgb"].shape == (3,)
+
+
+def test_load_burst():
+    from pysp_tpu.io.raw_loader import load_burst
+    from pysp_tpu.pipeline.develop import develop_burst
+
+    blobs = [
+        T.write_synthetic_dng(make_bayer_u16(32, 32, seed=20 + i),
+                              exposure_time=(1, 100 + i))
+        for i in range(4)
+    ]
+    batch = load_burst(blobs)
+    assert batch.bayer.shape == (4, 32, 32)
+    assert batch.ev.shape == (4,)
+    out = np.asarray(develop_burst(batch, DevelopConfig(quality=QualityDemosaic.Draft)))
+    assert out.shape == (4, 32, 32, 3)
