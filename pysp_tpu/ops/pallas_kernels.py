@@ -6,8 +6,13 @@ homogeneity count (ditto for 9+2 views x 3 channels). Both are classic VMEM-tile
 stencils: DMA one row-band per grid step, compute every shifted view out of VMEM,
 write one output band — a single read + write of HBM per pixel.
 
+Mosaic constraint: HBM DMA row slices must start and extend at multiples of the (8,128)
+tile, so the halo is embedded in an 8-row alignment pad (bands are [i*tile_h,
+i*tile_h + tile_h + 2*ALIGN) over an input padded by ALIGN rows on each side; the
+stencil views sit at sublane offset ALIGN - reach).
+
 Each kernel has an XLA fallback (ops.stencil / demosaic.homogeneity); the dispatchers
-here fall back automatically off-TPU or for shapes the tiling doesn't cover.
+fall back automatically off-TPU or for heights the tiling doesn't divide.
 """
 from __future__ import annotations
 
@@ -23,30 +28,30 @@ from .stencil import _median_network, median5 as median5_xla
 
 Array = jnp.ndarray
 
-_PAD = 2  # 5x5 stencil reach
+_ALIGN = 8  # sublane tile: HBM DMA slices must be 8-row aligned
 
 
 def _pick_tile(h: int, max_tile: int = 256) -> int:
     for cand in range(min(max_tile, h), 7, -8):
-        if h % cand == 0:
+        if h % cand == 0 and cand % _ALIGN == 0:
             return cand
     return 0
 
 
 def _median5_kernel(x_hbm, out_ref, scratch, sem, *, tile_h: int, width: int):
     i = pl.program_id(0)
+    rows = tile_h + 2 * _ALIGN
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _PAD), :],
-        scratch,
-        sem,
+        x_hbm.at[pl.ds(i * tile_h, rows), :], scratch, sem
     )
     dma.start()
     dma.wait()
 
+    base = _ALIGN - 2  # stencil reach 2 inside the alignment pad
     views = []
     for dy in range(5):
         for dx in range(5):
-            views.append(scratch[dy : dy + tile_h, dx : dx + width])
+            views.append(scratch[base + dy : base + dy + tile_h, dx : dx + width])
 
     ops, target, p = _median_network(25)
     wires = list(views) + [None] * (p - 25)
@@ -68,7 +73,7 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
     if tile_h == 0:
         return median5_xla(x)
 
-    padded = jnp.pad(x, ((_PAD, _PAD), (_PAD, _PAD)), mode="edge")
+    padded = jnp.pad(x, ((_ALIGN, _ALIGN), (2, 2)), mode="edge")
 
     kernel = partial(_median5_kernel, tile_h=tile_h, width=w)
     return pl.pallas_call(
@@ -80,7 +85,7 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _PAD, w + 2 * _PAD), x.dtype),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 4), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(padded)
@@ -91,10 +96,11 @@ def _homogeneity_kernel(
     tile_h: int, width: int, is_vertical: bool
 ):
     i = pl.program_id(0)
+    rows = tile_h + 2 * _ALIGN
     copies = []
     for src, dst, k in ((l_hbm, l_s, 0), (a_hbm, a_s, 1), (b_hbm, b_s, 2)):
         dma = pltpu.make_async_copy(
-            src.at[pl.ds(i * tile_h, tile_h + 2), :], dst, sems.at[k]
+            src.at[pl.ds(i * tile_h, rows), :], dst, sems.at[k]
         )
         dma.start()
         copies.append(dma)
@@ -102,9 +108,10 @@ def _homogeneity_kernel(
         dma.wait()
 
     th, w = tile_h, width
+    base = _ALIGN  # center row offset: data row r lives at padded row r + _ALIGN
 
     def win(ref, dy, dx):
-        return ref[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + w]
+        return ref[base + dy : base + dy + th, 1 + dx : 1 + dx + w]
 
     lum = win(l_s, 0, 0)
     aa = win(a_s, 0, 0)
@@ -146,9 +153,13 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
     if tile_h == 0 or lab.ndim != 3:
         return homogeneity_xla(lab, is_vertical)
 
-    planes = [
-        jnp.pad(lab[..., c], ((1, 1), (1, 1)), mode="symmetric") for c in range(3)
-    ]
+    # Halo rows use symmetric reflection (cv2.BORDER_REFLECT, matching ahd.py:65);
+    # the alignment filler rows beyond reach 1 never enter the stencil.
+    planes = []
+    for c in range(3):
+        p = jnp.pad(lab[..., c], ((1, 1), (1, 1)), mode="symmetric")
+        p = jnp.pad(p, ((_ALIGN - 1, _ALIGN - 1), (0, 0)), mode="edge")
+        planes.append(p)
 
     kernel = partial(
         _homogeneity_kernel, tile_h=tile_h, width=w, is_vertical=is_vertical
@@ -162,9 +173,9 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
-            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
-            pltpu.VMEM((tile_h + 2, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )(*planes)
