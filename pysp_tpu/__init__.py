@@ -57,8 +57,24 @@ from .correct.ca.models import (
     Poly5CorrectionModel,
     PtLensCorrectionModel,
 )
+from .correct.ca.instability import compute_structural_instability
+from .correct.ca.models import lensfun_poly3_remap_coords
 from .correct.ca.removal import compute_ca_lens_models_for_raw, remove_ca_from_raw
-from .warp.opcodes import apply_opcode_3_warp, stack_warp_prior
+from .io.raw_loader import load_burst
+from .ops.resample import bilinear_sample, remap_bilinear, remap_lanczos4
+from .parallel.mesh import make_mesh
+from .parallel.spatial import (
+    develop_burst_sharded,
+    develop_burst_spatial,
+    develop_spatial,
+)
+from .pipeline.develop import develop_with_stats
+from .warp.opcodes import apply_opcode_3_warp, encode_warp_rectilinear, stack_warp_prior
+from .warp.rectilinear import (
+    compute_offset_remapping_table,
+    compute_remapping_table,
+    warp_channel_rectilinear,
+)
 from .filters.blur import blur_gaussian
 from .filters.sharpen import (
     gaussian_rt_deconvolution,
@@ -120,7 +136,22 @@ __all__ = [
     "compute_ca_lens_models_for_raw",
     "remove_ca_from_raw",
     "apply_opcode_3_warp",
+    "encode_warp_rectilinear",
     "stack_warp_prior",
+    "compute_remapping_table",
+    "compute_offset_remapping_table",
+    "warp_channel_rectilinear",
+    "compute_structural_instability",
+    "lensfun_poly3_remap_coords",
+    "load_burst",
+    "remap_bilinear",
+    "remap_lanczos4",
+    "bilinear_sample",
+    "make_mesh",
+    "develop_spatial",
+    "develop_burst_sharded",
+    "develop_burst_spatial",
+    "develop_with_stats",
     "blur_gaussian",
     "unsharp_mask_per_channel",
     "unsharp_mask_lab",

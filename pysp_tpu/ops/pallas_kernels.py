@@ -29,6 +29,11 @@ from .stencil import _median_network, median5 as median5_xla
 Array = jnp.ndarray
 
 _ALIGN = 8  # sublane tile: HBM DMA slices must be 8-row aligned
+_LANE = 128  # lane tile: the DMA'd width must be a 128 multiple
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
 
 
 def _pick_tile(h: int, max_tile: int = 256) -> int:
@@ -73,7 +78,8 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
     if tile_h == 0:
         return median5_xla(x)
 
-    padded = jnp.pad(x, ((_ALIGN, _ALIGN), (2, 2)), mode="edge")
+    wp = _round_up(w + 4, _LANE)
+    padded = jnp.pad(x, ((_ALIGN, _ALIGN), (2, wp - w - 2)), mode="edge")
 
     kernel = partial(_median5_kernel, tile_h=tile_h, width=w)
     return pl.pallas_call(
@@ -85,7 +91,7 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 4), x.dtype),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )(padded)
@@ -155,10 +161,11 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
 
     # Halo rows use symmetric reflection (cv2.BORDER_REFLECT, matching ahd.py:65);
     # the alignment filler rows beyond reach 1 never enter the stencil.
+    wp = _round_up(w + 2, _LANE)
     planes = []
     for c in range(3):
         p = jnp.pad(lab[..., c], ((1, 1), (1, 1)), mode="symmetric")
-        p = jnp.pad(p, ((_ALIGN - 1, _ALIGN - 1), (0, 0)), mode="edge")
+        p = jnp.pad(p, ((_ALIGN - 1, _ALIGN - 1), (0, wp - w - 2)), mode="edge")
         planes.append(p)
 
     kernel = partial(
@@ -173,9 +180,9 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
-            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
-            pltpu.VMEM((tile_h + 2 * _ALIGN, w + 2), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )(*planes)
