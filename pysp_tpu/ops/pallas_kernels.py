@@ -85,7 +85,7 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
     return pl.pallas_call(
         kernel,
         grid=(h // tile_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
@@ -174,7 +174,7 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
     return pl.pallas_call(
         kernel,
         grid=(h // tile_h,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=pl.BlockSpec(
             (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
