@@ -36,9 +36,20 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _pick_tile(h: int, max_tile: int = 256) -> int:
-    for cand in range(min(max_tile, h), 7, -8):
-        if h % cand == 0 and cand % _ALIGN == 0:
+_VMEM_LIMIT = 100 * 1024 * 1024  # raise Mosaic's 16MB scoped-vmem default
+
+
+def _pick_tile(h: int, w: int, live_values: int, max_tile: int = 256) -> int:
+    """Largest 8-multiple tile height dividing h whose peak live set fits VMEM.
+
+    ``live_values`` is the kernel's worst-case number of simultaneously live
+    tile-sized f32 arrays (sorting-network wires / window views).
+    """
+    wp = _round_up(w + 4, _LANE)
+    budget_rows = (_VMEM_LIMIT // 2) // max(live_values * wp * 4, 1)
+    limit = min(max_tile, h, max(budget_rows, 8))
+    for cand in range(limit - limit % 8, 7, -8):
+        if h % cand == 0:
             return cand
     return 0
 
@@ -74,7 +85,8 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
     """cv2.medianBlur(5) equivalent: VMEM-banded Pallas kernel, replicate border."""
     h, w = x.shape
     if tile_h == 0:
-        tile_h = _pick_tile(h)
+        # ~30 live tile-sized wires at the widest point of the median network
+        tile_h = _pick_tile(h, w, live_values=30)
     if tile_h == 0:
         return median5_xla(x)
 
@@ -94,6 +106,7 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
             pltpu.VMEM((tile_h + 2 * _ALIGN, wp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(padded)
 
 
@@ -155,7 +168,8 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
 
     h, w = lab.shape[0], lab.shape[1]
     if tile_h == 0:
-        tile_h = _pick_tile(h)
+        # 3 scratch planes + ~12 live window/epsilon temporaries
+        tile_h = _pick_tile(h, w, live_values=16)
     if tile_h == 0 or lab.ndim != 3:
         return homogeneity_xla(lab, is_vertical)
 
@@ -185,4 +199,5 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
             pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes)
