@@ -54,20 +54,35 @@ def _pick_tile(h: int, w: int, live_values: int, max_tile: int = 256) -> int:
     return 0
 
 
-def _median5_kernel(x_hbm, out_ref, scratch, sem, *, tile_h: int, width: int):
+def _median5_kernel(x_hbm, out_ref, scratch, sems, *, tile_h: int, width: int):
+    # Cross-step double buffering: scratch/semaphores persist across grid steps, so
+    # step i waits on the band it prefetched during step i-1 and immediately issues
+    # the DMA for band i+1 — transfer overlaps the sorting network.
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     rows = tile_h + 2 * _ALIGN
-    dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * tile_h, rows), :], scratch, sem
-    )
-    dma.start()
-    dma.wait()
+
+    def band(j, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(j * tile_h, rows), :], scratch.at[slot], sems.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        band(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        band(i + 1, (i + 1) % 2).start()
+
+    band(i, i % 2).wait()
+    cur = scratch.at[i % 2]
 
     base = _ALIGN - 2  # stencil reach 2 inside the alignment pad
     views = []
     for dy in range(5):
         for dx in range(5):
-            views.append(scratch[base + dy : base + dy + tile_h, dx : dx + width])
+            views.append(cur[base + dy : base + dy + tile_h, dx : dx + width])
 
     ops, target, p = _median_network(25)
     wires = list(views) + [None] * (p - 25)
@@ -103,8 +118,8 @@ def median5_pallas(x: Array, tile_h: int = 0) -> Array:
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(padded)
@@ -115,16 +130,33 @@ def _homogeneity_kernel(
     tile_h: int, width: int, is_vertical: bool
 ):
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     rows = tile_h + 2 * _ALIGN
-    copies = []
-    for src, dst, k in ((l_hbm, l_s, 0), (a_hbm, a_s, 1), (b_hbm, b_s, 2)):
-        dma = pltpu.make_async_copy(
-            src.at[pl.ds(i * tile_h, rows), :], dst, sems.at[k]
+    srcs = (l_hbm, a_hbm, b_hbm)
+    dsts = (l_s, a_s, b_s)
+
+    def band(j, slot, k):
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(j * tile_h, rows), :],
+            dsts[k].at[slot],
+            sems.at[slot * 3 + k],
         )
-        dma.start()
-        copies.append(dma)
-    for dma in copies:
-        dma.wait()
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(3):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(3):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(3):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    l_cur, a_cur, b_cur = l_s.at[slot], a_s.at[slot], b_s.at[slot]
 
     th, w = tile_h, width
     base = _ALIGN  # center row offset: data row r lives at padded row r + _ALIGN
@@ -132,16 +164,16 @@ def _homogeneity_kernel(
     def win(ref, dy, dx):
         return ref[base + dy : base + dy + th, 1 + dx : 1 + dx + w]
 
-    lum = win(l_s, 0, 0)
-    aa = win(a_s, 0, 0)
-    bb = win(b_s, 0, 0)
+    lum = win(l_cur, 0, 0)
+    aa = win(a_cur, 0, 0)
+    bb = win(b_cur, 0, 0)
 
     if is_vertical:
-        n1 = (win(l_s, -1, 0), win(a_s, -1, 0), win(b_s, -1, 0))
-        n2 = (win(l_s, 1, 0), win(a_s, 1, 0), win(b_s, 1, 0))
+        n1 = (win(l_cur, -1, 0), win(a_cur, -1, 0), win(b_cur, -1, 0))
+        n2 = (win(l_cur, 1, 0), win(a_cur, 1, 0), win(b_cur, 1, 0))
     else:
-        n1 = (win(l_s, 0, -1), win(a_s, 0, -1), win(b_s, 0, -1))
-        n2 = (win(l_s, 0, 1), win(a_s, 0, 1), win(b_s, 0, 1))
+        n1 = (win(l_cur, 0, -1), win(a_cur, 0, -1), win(b_cur, 0, -1))
+        n2 = (win(l_cur, 0, 1), win(a_cur, 0, 1), win(b_cur, 0, 1))
 
     eps_l = jnp.maximum(jnp.abs(lum - n1[0]), jnp.abs(lum - n2[0]))
     eps_c2 = jnp.maximum(
@@ -152,9 +184,9 @@ def _homogeneity_kernel(
     count = jnp.zeros((th, w), jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            wl = win(l_s, dy, dx)
-            wa = win(a_s, dy, dx)
-            wb = win(b_s, dy, dx)
+            wl = win(l_cur, dy, dx)
+            wa = win(a_cur, dy, dx)
+            wb = win(b_cur, dy, dx)
             ok = ((wl - lum) <= eps_l) & (
                 ((wa - aa) ** 2 + (wb - bb) ** 2) <= eps_c2
             )
@@ -194,10 +226,10 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
         ),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
-            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
-            pltpu.VMEM((tile_h + 2 * _ALIGN, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes)
