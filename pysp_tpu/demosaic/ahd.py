@@ -78,19 +78,22 @@ def _build_homogeneity_map(
 
 
 def postprocess_color(image: Array, use_pallas: bool = False) -> Array:
-    """One chroma-median stage (ahd.py:148-161): median5 on color differences."""
+    """One chroma-median stage (ahd.py:148-161): median5 on color differences.
+
+    With use_pallas on TPU, the whole stage (all four median-of-25 networks +
+    arithmetic) runs as one fused VMEM-banded kernel — bit-identical output."""
     if _use_pallas(use_pallas):
-        from ..ops.pallas_kernels import median5_pallas as med
-    else:
-        med = median5
+        from ..ops.pallas_kernels import postprocess_color_pallas
+
+        return postprocess_color_pallas(image)
 
     r = image[..., 0]
     g = image[..., 1]
     b = image[..., 2]
 
-    r = med(r - g) + g
-    b = med(b - g) + g
-    g = (med(g - r) + med(g - b) + r + b) * 0.5
+    r = median5(r - g) + g
+    b = median5(b - g) + g
+    g = (median5(g - r) + median5(g - b) + r + b) * 0.5
     return jnp.stack([r, g, b], axis=-1)
 
 

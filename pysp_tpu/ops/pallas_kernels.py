@@ -233,3 +233,164 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes)
+
+
+def _median_views(buf, row0: int, n_rows: int, width: int):
+    """25 window views of ``buf`` for output rows [row0, row0+n_rows)."""
+    return [
+        buf[row0 - 2 + dy : row0 - 2 + dy + n_rows, dx : dx + width]
+        for dy in range(5)
+        for dx in range(5)
+    ]
+
+
+def _median_net(views):
+    ops, target, p = _median_network(25)
+    wires = list(views) + [None] * (p - 25)
+    for kind, a, b in ops:
+        if kind == "cmp":
+            lo = jnp.minimum(wires[a], wires[b])
+            hi = jnp.maximum(wires[a], wires[b])
+            wires[a], wires[b] = lo, hi
+        else:
+            wires[a] = wires[b]
+    return wires[target]
+
+
+def _postprocess_kernel(r_hbm, g_hbm, b_hbm, ro, go, bo, r_s, g_s, b_s, sems, *,
+                        tile_h: int, width: int):
+    """One AHD chroma-median stage (ahd.py:148-161) fused: r/g/b read once,
+    all four median-of-25 networks computed in VMEM, r'/g'/b' written once.
+
+    The second-layer medians (g - r', g - b') need r'/b' on a 2-row/col halo, so
+    r'/b' are computed over an extended (tile+4, w+4) region; total stencil reach 4
+    fits inside the 8-row alignment pad.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tile_h + 2 * _ALIGN
+    srcs = (r_hbm, g_hbm, b_hbm)
+    dsts = (r_s, g_s, b_s)
+
+    def band(j, slot, k):
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(j * tile_h, rows), :], dsts[k].at[slot],
+            sems.at[slot * 3 + k],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(3):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(3):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(3):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    r = r_s[slot]
+    g = g_s[slot]
+    b = b_s[slot]
+
+    w = width
+    ext_rows = tile_h + 4
+    ext_w = w + 4
+    # extended region: band rows [6, 6+tile_h+4), band cols [2, 2+w+4) relative to
+    # the (8, 4)-col alignment pads
+    rg = r - g
+    bg = b - g
+
+    g_ext = g[6 : 6 + ext_rows, 2 : 2 + ext_w]
+    r_prime_ext = _median_net(_median_views(rg, 8 - 2, ext_rows, ext_w)) + g_ext
+    b_prime_ext = _median_net(_median_views(bg, 8 - 2, ext_rows, ext_w)) + g_ext
+
+    # XLA/reference semantics pad (g - r') by replication at the global image
+    # border; inside the halo we recomputed r' from replicated inputs instead,
+    # which differs. Overwrite the halo of the differences with edge replication:
+    # columns always (the col halo is always the global border), rows only on the
+    # first/last band.
+    def fix_halo(diff):
+        valid = diff[:, 2 : 2 + w]
+        left = valid[:, 0:1]
+        right = valid[:, w - 1 : w]
+        diff = jnp.concatenate([left, left, valid, right, right], axis=1)
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ext_rows, ext_w), 0)
+        top_row = diff[2:3, :]
+        bot_row = diff[tile_h + 1 : tile_h + 2, :]
+        diff = jnp.where((i == 0) & (ri < 2), top_row, diff)
+        diff = jnp.where(
+            (i == pl.num_programs(0) - 1) & (ri >= tile_h + 2), bot_row, diff
+        )
+        return diff
+
+    gr = fix_halo(g_ext - r_prime_ext)
+    gb = fix_halo(g_ext - b_prime_ext)
+
+    # center windows into the extended buffers: output row t = ext row t+2
+    def cviews(buf):
+        return [
+            buf[dy : dy + tile_h, dx : dx + w]
+            for dy in range(5)
+            for dx in range(5)
+        ]
+
+    med_gr = _median_net(cviews(gr))
+    med_gb = _median_net(cviews(gb))
+
+    r_c = r_prime_ext[2 : 2 + tile_h, 2 : 2 + w]
+    b_c = b_prime_ext[2 : 2 + tile_h, 2 : 2 + w]
+    g_new = (med_gr + med_gb + r_c + b_c) * 0.5
+
+    ro[:] = r_c
+    go[:] = g_new
+    bo[:] = b_c
+
+
+def postprocess_color_pallas(image: Array, tile_h: int = 0) -> Array:
+    """Fused AHD chroma-median postprocess stage (see demosaic.ahd.postprocess_color).
+
+    Border semantics match the XLA path: each median uses replicate padding of its
+    *input* (the reference's cv2.medianBlur border), including the second-layer
+    medians whose inputs are the healed r'/b' — replicated here by computing r'/b'
+    into the halo before the outer medians.
+    """
+    from ..demosaic.ahd import postprocess_color as postprocess_xla
+
+    h, w = image.shape[0], image.shape[1]
+    if tile_h == 0:
+        tile_h = _pick_tile(h, w, live_values=36)
+    if tile_h == 0:
+        return postprocess_xla(image)
+
+    wp = _round_up(w + 8, _LANE)
+    planes = [
+        jnp.pad(
+            image[..., c], ((_ALIGN, _ALIGN), (4, wp - w - 4)), mode="edge"
+        )
+        for c in range(3)
+    ]
+
+    kernel = partial(_postprocess_kernel, tile_h=tile_h, width=w)
+    shape = jax.ShapeDtypeStruct((h, w), image.dtype)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(h // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=[
+            pl.BlockSpec((tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[shape, shape, shape],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*planes)
+    return jnp.stack([r, g, b], axis=-1)

@@ -38,8 +38,9 @@ class DevelopConfig:
     clip_highlights: bool = True
     gamma_encode: bool = True
     # Pallas stencil kernels (median, homogeneity) on TPU; ignored off-TPU.
-    # develop_burst forces them off (manual-DMA kernels are not vmapped).
-    use_pallas: bool = True
+    # Off by default: measured on v5e at 24MP, the XLA sorting-network/stencil
+    # versions beat the banded manual-DMA kernels (pad copy + halo re-reads).
+    use_pallas: bool = False
 
 
 def develop_to_image(frame: RawFrame, cfg: DevelopConfig) -> DevelopedImage:
