@@ -93,10 +93,15 @@ def resample_channel(
     position: BayerPatternPosition,
 ) -> Array:
     """Full-res channel from quarter-res samples via G-difference upsampling
-    (edge_assisted_gaussian.py:126-143)."""
-    g_up = _phase_upsample(g_at_subpixel, position) + g_hf_pass
-    diff_up = _phase_upsample(subpixel - g_at_subpixel, position)
-    return diff_up + g_up
+    (edge_assisted_gaussian.py:126-143).
+
+    The reference computes ``up(sub - g) + (up(g) + hf)`` — but ``up`` (the
+    photosite-phase convolution) is linear, so this is algebraically
+    ``up(sub) + hf``: the green channel cancels exactly. Computed in the reduced
+    form (half the convolutions); difference vs the reference is one float32
+    rounding order (~1e-7), far inside every fidelity gate."""
+    del g_at_subpixel  # cancels by linearity
+    return _phase_upsample(subpixel, position) + g_hf_pass
 
 
 def resample_rb(r: Array, b: Array, g_upscaled: Array) -> Tuple[Array, Array]:
