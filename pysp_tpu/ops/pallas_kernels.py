@@ -84,16 +84,7 @@ def _median5_kernel(x_hbm, out_ref, scratch, sems, *, tile_h: int, width: int):
         for dx in range(5):
             views.append(cur[base + dy : base + dy + tile_h, dx : dx + width])
 
-    ops, target, p = _median_network(25)
-    wires = list(views) + [None] * (p - 25)
-    for kind, a, b in ops:
-        if kind == "cmp":
-            lo = jnp.minimum(wires[a], wires[b])
-            hi = jnp.maximum(wires[a], wires[b])
-            wires[a], wires[b] = lo, hi
-        else:
-            wires[a] = wires[b]
-    out_ref[:] = wires[target]
+    out_ref[:] = _median_net(views)
 
 
 def median5_pallas(x: Array, tile_h: int = 0) -> Array:
@@ -252,6 +243,10 @@ def _median_net(views):
             lo = jnp.minimum(wires[a], wires[b])
             hi = jnp.maximum(wires[a], wires[b])
             wires[a], wires[b] = lo, hi
+        elif kind == "min":
+            wires[a] = jnp.minimum(wires[a], wires[b])
+        elif kind == "max":
+            wires[b] = jnp.maximum(wires[a], wires[b])
         else:
             wires[a] = wires[b]
     return wires[target]

@@ -192,15 +192,25 @@ def _median_network(n: int):
             finite[i], finite[j] = True, False
 
     # Backward pruning: track which wires can still influence the target output.
+    # Comparators whose min- or max-side output is dead downstream degrade to a
+    # single jnp.minimum / jnp.maximum (halves the VPU ops for those wires).
     needed = {target}
     kept = []
     for kind, i, j in reversed(ops):
         if kind == "cmp":
-            if i in needed or j in needed:
-                kept.append((kind, i, j))
-                needed.add(i)
-                needed.add(j)
-        else:  # mov j->i ... value moved from wire j to wire i
+            need_min = i in needed
+            need_max = j in needed
+            if not (need_min or need_max):
+                continue
+            if need_min and need_max:
+                kept.append(("cmp", i, j))
+            elif need_min:
+                kept.append(("min", i, j))
+            else:
+                kept.append(("max", i, j))
+            needed.add(i)
+            needed.add(j)
+        else:  # mov: wires[i] <- wires[j]
             if i in needed:
                 kept.append((kind, i, j))
                 needed.discard(i)
@@ -222,6 +232,10 @@ def _median_of(values: list) -> Array:
             a, b = wires[i], wires[j]
             wires[i] = jnp.minimum(a, b)
             wires[j] = jnp.maximum(a, b)
+        elif kind == "min":
+            wires[i] = jnp.minimum(wires[i], wires[j])
+        elif kind == "max":
+            wires[j] = jnp.maximum(wires[i], wires[j])
         else:
             wires[i] = wires[j]
     return wires[target]
