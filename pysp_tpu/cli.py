@@ -1,0 +1,172 @@
+"""Command-line develop: ``python -m pysp_tpu.cli develop shot.dng -o out.png``.
+
+The reference has no CLI (README.md usage is import-only); this is the minimal
+production surface over the same pipeline: load -> (optional corrections) ->
+develop -> save, with per-stage stats and timing.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pysp_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    dev = sub.add_parser("develop", help="develop raw file(s) to sRGB images")
+    dev.add_argument("inputs", nargs="+", help="raw file path(s) (DNG)")
+    dev.add_argument("-o", "--output", help="output path (single input) or directory")
+    dev.add_argument(
+        "--quality", choices=["draft", "fast", "best"], default="best"
+    )
+    dev.add_argument("--postprocess", type=int, default=1,
+                     help="AHD chroma-median stages (best quality only)")
+    dev.add_argument("--no-gamma", action="store_true",
+                     help="emit linear sRGB instead of gamma-encoded")
+    dev.add_argument("--temperature", type=float, default=None,
+                     help="override WB by color temperature (Kelvin)")
+    dev.add_argument("--repair-hot-pixels", action="store_true")
+    dev.add_argument("--stats", action="store_true", help="print develop statistics")
+
+    info = sub.add_parser("info", help="print raw metadata")
+    info.add_argument("input")
+    return p
+
+
+def _develop(args) -> int:
+    import numpy as np
+
+    from . import (
+        DevelopConfig,
+        QualityDemosaic,
+        develop,
+        find_erroneous_pixels_median,
+        load_raw,
+        repair_bad_pixels,
+    )
+    from .io.image_out import save_image
+    from .pipeline.develop import develop_with_stats
+
+    quality = {
+        "draft": QualityDemosaic.Draft,
+        "fast": QualityDemosaic.Fast,
+        "best": QualityDemosaic.Best,
+    }[args.quality]
+    cfg = DevelopConfig(
+        quality=quality,
+        postprocess_stages=args.postprocess,
+        gamma_encode=not args.no_gamma,
+    )
+
+    import os
+
+    for src in args.inputs:
+        t0 = time.time()
+
+        if args.temperature is not None:
+            # rebuild the frame with re-solved WB
+            from .colorimetry.wb import CameraWhiteBalanceController
+            from .io import tiff as T
+            from .io.metadata import (
+                exif_get_as_shot_neutral,
+                exif_get_color_mat_sources,
+            )
+            from .io.raw_loader import frame_from_parts, load_raw_dng
+
+            frame = load_raw_dng(src)
+            tf = T.read_tiff(src)
+            ctrl = CameraWhiteBalanceController(
+                exif_get_color_mat_sources(tf), exif_get_as_shot_neutral(tf)
+            )
+            ctrl.update_by_temperature(args.temperature, allow_cross_blend=True)
+            frame = frame_from_parts(
+                np.asarray(frame.bayer), frame.source_pattern, ctrl, float(frame.ev)
+            )
+        else:
+            frame = load_raw(src)
+
+        if args.repair_hot_pixels:
+            masks = find_erroneous_pixels_median(frame)
+            frame = repair_bad_pixels(frame, masks)
+
+        if args.stats:
+            out, stats = develop_with_stats(frame, cfg)
+            host_stats = {
+                k: {kk: np.asarray(vv).tolist() for kk, vv in v.items()}
+                for k, v in stats.items()
+            }
+            print(json.dumps(host_stats, indent=2), file=sys.stderr)
+        else:
+            out = develop(frame, cfg)
+
+        out_host = np.asarray(out)
+        dt = time.time() - t0
+
+        if args.output is None:
+            dst = os.path.splitext(src)[0] + ".png"
+        elif len(args.inputs) > 1 or os.path.isdir(args.output):
+            os.makedirs(args.output, exist_ok=True)
+            dst = os.path.join(
+                args.output, os.path.splitext(os.path.basename(src))[0] + ".png"
+            )
+        else:
+            dst = args.output
+
+        save_image(dst, out_host)
+        mp = out_host.shape[0] * out_host.shape[1] / 1e6
+        print(f"{src} -> {dst}  ({mp:.1f} MP, {dt*1e3:.0f} ms)")
+    return 0
+
+
+def _info(args) -> int:
+    import numpy as np
+
+    from .io import tiff as T
+    from .io.metadata import (
+        compute_ev_from_tiff,
+        exif_get_as_shot_neutral,
+        exif_get_color_mat_sources,
+        get_image_area_from_tiff,
+        get_opcode_3_block,
+    )
+
+    tf = T.read_tiff(args.input)
+    raw = tf.find_raw_ifd()
+    out = {}
+    if raw is not None:
+        out["size"] = [
+            raw.get(T.TAG_IMAGE_LENGTH).as_ints()[0],
+            raw.get(T.TAG_IMAGE_WIDTH).as_ints()[0],
+        ]
+        cfa = raw.get(T.TAG_CFA_PATTERN)
+        if cfa is not None:
+            out["cfa"] = list(cfa.as_bytes() if isinstance(cfa.values, bytes)
+                              else cfa.as_ints())[:4]
+    out["ev"] = compute_ev_from_tiff(args.input)
+    active, crop = get_image_area_from_tiff(args.input)
+    out["active_area"] = active
+    out["crop"] = crop
+    try:
+        out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
+    except KeyError:
+        out["as_shot_neutral"] = None
+    out["n_color_matrices"] = len(exif_get_color_mat_sources(tf))
+    out["has_opcode_list_3"] = get_opcode_3_block(args.input) is not None
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "develop":
+        return _develop(args)
+    if args.command == "info":
+        return _info(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -218,3 +218,59 @@ def test_load_burst():
     assert batch.ev.shape == (4,)
     out = np.asarray(develop_burst(batch, DevelopConfig(quality=QualityDemosaic.Draft)))
     assert out.shape == (4, 32, 32, 3)
+
+
+def test_cli_develop_and_info(tmp_path):
+    import json
+    import subprocess
+    import sys
+    import os
+
+    bayer = make_bayer_u16(48, 48, seed=30)
+    src = tmp_path / "shot.dng"
+    src.write_bytes(T.write_synthetic_dng(bayer))
+    dst = tmp_path / "out.png"
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "pysp_tpu.cli", "develop", str(src),
+         "-o", str(dst), "--quality", "fast"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert dst.exists()
+    from PIL import Image
+
+    img = Image.open(dst)
+    assert img.size == (48, 48)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "pysp_tpu.cli", "info", str(src)],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout)
+    assert meta["size"] == [48, 48]
+    assert meta["n_color_matrices"] == 2
+
+
+def test_save_tiff16_roundtrip(tmp_path):
+    from pysp_tpu.io.image_out import save_tiff16
+
+    rng = np.random.default_rng(31)
+    srgb = rng.random((16, 20, 3)).astype(np.float32)
+    path = tmp_path / "out.tif"
+    save_tiff16(str(path), srgb)
+
+    tf = T.read_tiff(str(path))
+    ifd = tf.ifds[0]
+    assert ifd.get(T.TAG_PHOTOMETRIC).as_ints()[0] == 2
+    raw = np.frombuffer(
+        tf.data[
+            ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0] :
+            ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
+            + ifd.get(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
+        ],
+        dtype="<u2",
+    ).reshape(16, 20, 3)
+    np.testing.assert_allclose(raw / 65535.0, srgb, atol=1e-4)
