@@ -78,6 +78,28 @@ def _dest_to_xyz_adapted(dest_base: Array, dest_white: Array, cam_white: Array) 
     return bradford_adapt(dest_white, cam_white) @ dest_base
 
 
+def cam_to_rgb_norm_matrix(
+    cam_mat: Array, cam_white: Array, dest_base: Array, dest_white: Array
+) -> Array:
+    """The 3x3 camera->destination matrix of cam_to_rgb_norm (transform.py:21-53):
+    ``inv(row_normalize(cam_mat @ (RGB->XYZ adapted to camera white)))``."""
+    mat_rgb_to_xyz_d_cam = _dest_to_xyz_adapted(dest_base, dest_white, cam_white)
+    color_mat = cam_mat @ mat_rgb_to_xyz_d_cam
+    color_sum = jnp.sum(color_mat, axis=1, keepdims=True)
+    color_mat = color_mat / color_sum
+    return jnp.linalg.inv(color_mat)
+
+
+def cam_to_lin_srgb_matrix(cam_mat: Array, cam_white: Array) -> Array:
+    """Camera->linear-sRGB 3x3 (the matrix cam_to_lin_srgb applies)."""
+    return cam_to_rgb_norm_matrix(
+        cam_mat,
+        cam_white,
+        jnp.asarray(_REC709_TO_XYZ, jnp.float32),
+        jnp.asarray(_D65_XYZ, jnp.float32),
+    )
+
+
 def cam_to_rgb_norm(
     rgb: Array,
     cam_mat: Array,
@@ -94,13 +116,7 @@ def cam_to_rgb_norm(
     if clip_highlights:
         rgb = clip_rgb(rgb)
 
-    mat_rgb_to_xyz_d_cam = _dest_to_xyz_adapted(dest_base, dest_white, cam_white)
-    color_mat = cam_mat @ mat_rgb_to_xyz_d_cam
-
-    color_sum = jnp.sum(color_mat, axis=1, keepdims=True)
-    color_mat = color_mat / color_sum
-
-    color_mat = jnp.linalg.inv(color_mat)
+    color_mat = cam_to_rgb_norm_matrix(cam_mat, cam_white, dest_base, dest_white)
     return mat3_apply(rgb, color_mat).astype(jnp.float32)
 
 
@@ -194,6 +210,42 @@ _CV2_RGB_TO_XYZ = np.array(
 _CV2_LAB_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
 
+def rgb_to_lab_channels(r: Array, g: Array, b: Array):
+    """Channelwise RGB [0,1] -> CIELAB (cv2 float semantics; see rgb_to_lab).
+
+    Identical math/op-order to rgb_to_lab on separate 2D arrays — usable inside
+    Pallas kernels (no channel stacking)."""
+
+    def decode(x):
+        x = jnp.clip(x, 0.0, 1.0)
+        return jnp.where(
+            x <= 0.04045,
+            x / 12.92,
+            jnp.power(jnp.maximum((x + 0.055) / 1.055, 1e-12), 2.4),
+        )
+
+    r, g, b = decode(r), decode(g), decode(b)
+    m = _CV2_RGB_TO_XYZ
+    wt = _CV2_LAB_WHITE
+
+    def f(t):
+        return jnp.where(
+            t > 0.008856,
+            jnp.cbrt(jnp.maximum(t, 1e-12)),
+            7.787 * t + 16.0 / 116.0,
+        )
+
+    tx = (m[0, 0] * r + m[0, 1] * g + m[0, 2] * b) / wt[0]
+    ty = (m[1, 0] * r + m[1, 1] * g + m[1, 2] * b) / wt[1]
+    tz = (m[2, 0] * r + m[2, 1] * g + m[2, 2] * b) / wt[2]
+
+    fx, fy, fz = f(tx), f(ty), f(tz)
+    lum = jnp.where(ty > 0.008856, 116.0 * fy - 16.0, 903.3 * ty)
+    a = 500.0 * (fx - fy)
+    bb = 200.0 * (fy - fz)
+    return lum, a, bb
+
+
 def rgb_to_lab(rgb: Array) -> Array:
     """RGB [0,1] -> CIELAB, matching cv2.cvtColor(RGB2LAB) float semantics.
 
@@ -202,24 +254,5 @@ def rgb_to_lab(rgb: Array) -> Array:
     (debayer/ahd.py:58-62), so the effective AHD homogeneity metric runs on clamped,
     double-linearized values — replicated here for behavioral parity.
     """
-    rgb = jnp.clip(rgb, 0.0, 1.0)
-    rgb = jnp.where(
-        rgb <= 0.04045,
-        rgb / 12.92,
-        jnp.power(jnp.maximum((rgb + 0.055) / 1.055, 1e-12), 2.4),
-    )
-    xyz = mat3_apply(rgb, jnp.asarray(_CV2_RGB_TO_XYZ))
-    t = xyz / jnp.asarray(_CV2_LAB_WHITE)
-
-    # f(t): cube root above the toe, linear below
-    ft = jnp.where(
-        t > 0.008856,
-        jnp.cbrt(jnp.maximum(t, 1e-12)),
-        7.787 * t + 16.0 / 116.0,
-    )
-    fx, fy, fz = ft[..., 0], ft[..., 1], ft[..., 2]
-    ty = t[..., 1]
-    lum = jnp.where(ty > 0.008856, 116.0 * fy - 16.0, 903.3 * ty)
-    a = 500.0 * (fx - fy)
-    b = 200.0 * (fy - fz)
+    lum, a, b = rgb_to_lab_channels(rgb[..., 0], rgb[..., 1], rgb[..., 2])
     return jnp.stack([lum, a, b], axis=-1)

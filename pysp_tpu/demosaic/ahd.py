@@ -164,10 +164,26 @@ def demosaic_ahd(
     b_v = resample_channel(b_c, gv_b, delta_gv_hf, BayerPatternPosition.BOTTOM_RIGHT)
 
     # Direction decision on box-blurred homogeneity (ahd.py:129-145).
-    map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
-    map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
+    pick = None
+    if _use_pallas(use_pallas):
+        from ..colorimetry.transforms import cam_to_lin_srgb_matrix
+        from ..ops.pallas_kernels import ahd_decision_pallas
 
-    pick_h = (map_h < map_v).astype(jnp.float32)[..., None]
+        color_mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+        pick = ahd_decision_pallas(
+            r_h, g_h, b_h, r_v, g_v, b_v,
+            color_mat, frame.wb_reciprocal(), frame.is_hdr,
+        )
+    if pick is None:
+        map_h = box_blur3(
+            _build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas)
+        )
+        map_v = box_blur3(
+            _build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas)
+        )
+        pick = (map_h < map_v).astype(jnp.float32)
+
+    pick_h = pick[..., None]
     rgb_h = jnp.stack([r_h, g_h, b_h], axis=-1)
     rgb_v = jnp.stack([r_v, g_v, b_v], axis=-1)
     debayered = rgb_h * pick_h + rgb_v * (1.0 - pick_h)

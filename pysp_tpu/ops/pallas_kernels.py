@@ -389,3 +389,196 @@ def postprocess_color_pallas(image: Array, tile_h: int = 0) -> Array:
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes)
     return jnp.stack([r, g, b], axis=-1)
+
+
+def _ahd_decision_kernel(
+    mat_ref, wb_ref,
+    rh_hbm, gh_hbm, bh_hbm, rv_hbm, gv_hbm, bv_hbm,
+    out_ref,
+    scratch, sems, *,
+    tile_h: int, width: int, is_hdr: bool,
+):
+    """Fused AHD direction decision: camera->lin-sRGB, CIELAB, homogeneity count,
+    reflect-fixed box blur, H<V compare — one VMEM pass per candidate field band.
+
+    Bit-identical to the XLA path (same channelwise formulas and accumulation
+    orders; integer homogeneity counts are order-exact in f32).
+    """
+    from ..colorimetry.transforms import rgb_to_lab_channels
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tile_h + 2 * _ALIGN
+    srcs = (rh_hbm, gh_hbm, bh_hbm, rv_hbm, gv_hbm, bv_hbm)
+
+    def band(j, slot, k):
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(j * tile_h, rows), :],
+            scratch.at[slot, k],
+            sems.at[slot * 6 + k],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(6):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(6):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(6):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    w = width
+    t = tile_h
+    lab_rows = t + 4
+    lab_w = w + 4
+
+    def direction_map(kr, kg, kb):
+        # lab region: band rows [ALIGN-2, ALIGN+t+2), cols [0, w+4)
+        r = scratch[slot, kr][_ALIGN - 2 : _ALIGN + t + 2, 0:lab_w]
+        g = scratch[slot, kg][_ALIGN - 2 : _ALIGN + t + 2, 0:lab_w]
+        b = scratch[slot, kb][_ALIGN - 2 : _ALIGN + t + 2, 0:lab_w]
+
+        # cam -> lin sRGB (clip_highlights=False): WB then 3x3, same op order as
+        # mat3_apply(stack(r*wb0, g*wb1, b*wb2), mat)
+        r = r * wb_ref[0, 0]
+        g = g * wb_ref[0, 1]
+        b = b * wb_ref[0, 2]
+        ir = mat_ref[0, 0] * r + mat_ref[0, 1] * g + mat_ref[0, 2] * b
+        ig = mat_ref[1, 0] * r + mat_ref[1, 1] * g + mat_ref[1, 2] * b
+        ib = mat_ref[2, 0] * r + mat_ref[2, 1] * g + mat_ref[2, 2] * b
+
+        if is_hdr:
+            luma = 0.2126 * ir + 0.7152 * ig + 0.0722 * ib
+            ir = ir / (1.0 + ir)
+            ig = ig / (1.0 + ig)
+            ib = ib / (1.0 + ib)
+            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib)
+            lum = luma
+        else:
+            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib)
+        return lum, aa, bb
+
+    k9 = jnp.float32(np.float32(1.0 / 9.0))
+
+    def homog_blurred(kr, kg, kb, is_vertical):
+        lum, aa, bb = direction_map(kr, kg, kb)
+
+        # homogeneity on the (t+2, w+2) region, center at lab local (1..t+2, 1..w+2)
+        mh, mw = t + 2, w + 2
+
+        def win(arr, dy, dx):
+            return arr[1 + dy : 1 + dy + mh, 1 + dx : 1 + dx + mw]
+
+        cl, ca, cb = win(lum, 0, 0), win(aa, 0, 0), win(bb, 0, 0)
+        if is_vertical:
+            n1 = (win(lum, -1, 0), win(aa, -1, 0), win(bb, -1, 0))
+            n2 = (win(lum, 1, 0), win(aa, 1, 0), win(bb, 1, 0))
+        else:
+            n1 = (win(lum, 0, -1), win(aa, 0, -1), win(bb, 0, -1))
+            n2 = (win(lum, 0, 1), win(aa, 0, 1), win(bb, 0, 1))
+
+        eps_l = jnp.maximum(jnp.abs(cl - n1[0]), jnp.abs(cl - n2[0]))
+        eps_c2 = jnp.maximum(
+            (ca - n1[1]) ** 2 + (cb - n1[2]) ** 2,
+            (ca - n2[1]) ** 2 + (cb - n2[2]) ** 2,
+        )
+
+        count = jnp.zeros((mh, mw), jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                wl = win(lum, dy, dx)
+                wa = win(aa, dy, dx)
+                wb2 = win(bb, dy, dx)
+                ok = ((wl - cl) <= eps_l) & (
+                    ((wa - ca) ** 2 + (wb2 - cb) ** 2) <= eps_c2
+                )
+                count = count + ok.astype(jnp.float32)
+
+        # XLA path box-blurs the map with reflect101 padding; the count halo here
+        # was computed from reflected *lab*, which differs. Overwrite it with the
+        # mirrored interior (columns always = global border; rows on edge bands).
+        left = count[:, 2:3]
+        right = count[:, mw - 3 : mw - 2]
+        count = jnp.concatenate(
+            [left, count[:, 1 : mw - 1], right], axis=1
+        )
+        ri = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)
+        count = jnp.where((i == 0) & (ri < 1), count[2:3, :], count)
+        count = jnp.where(
+            (i == n - 1) & (ri >= mh - 1), count[mh - 3 : mh - 2, :], count
+        )
+
+        # VALID 3x3 box blur (same per-term multiply form as ops.stencil._conv_valid).
+        # NOTE: ~1.4% of picks land on exact homogeneity ties, where the last-ulp
+        # summation order decides; XLA's 9-term reduction order is opaque, so those
+        # tie pixels may flip vs the XLA path (both choices equally valid — same
+        # divergence class as exact-LAB vs cv2's LUT LAB; see DIVERGENCES.md).
+        out = None
+        for dy in range(3):
+            for dx in range(3):
+                term = count[dy : dy + t, dx : dx + w] * k9
+                out = term if out is None else out + term
+        return out
+
+    map_h = homog_blurred(0, 1, 2, False)
+    map_v = homog_blurred(3, 4, 5, True)
+    out_ref[:] = (map_h < map_v).astype(jnp.float32)
+
+
+def ahd_decision_pallas(
+    r_h: Array, g_h: Array, b_h: Array,
+    r_v: Array, g_v: Array, b_v: Array,
+    color_mat: Array, wb: Array, is_hdr: bool,
+    tile_h: int = 0,
+) -> Array:
+    """Fused H/V direction pick for AHD: returns (map_h < map_v) as f32 (H, W).
+
+    Replaces the XLA chain cam_to_lin_srgb -> rgb_to_lab -> homogeneity_map ->
+    box_blur3 -> compare (x2 directions) with one banded VMEM pass over the six
+    candidate fields. Picks differ from the XLA path only at exact homogeneity
+    ties (~1.4% of pixels, last-ulp summation noise; either choice is valid).
+    """
+    h, w = r_h.shape
+    if tile_h == 0:
+        tile_h = _pick_tile(h, w, live_values=22)
+    if tile_h == 0:
+        return None  # caller falls back to the XLA path
+
+    wp = _round_up(w + 4, _LANE)
+    fields = []
+    for f in (r_h, g_h, b_h, r_v, g_v, b_v):
+        p = jnp.pad(f, ((2, 2), (2, 2)), mode="symmetric")
+        p = jnp.pad(
+            p, ((_ALIGN - 2, _ALIGN - 2), (0, wp - w - 4)), mode="edge"
+        )
+        fields.append(p)
+
+    kernel = partial(
+        _ahd_decision_kernel, tile_h=tile_h, width=w, is_hdr=is_hdr
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(h // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        out_specs=pl.BlockSpec(
+            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 6, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((12,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(
+        jnp.asarray(color_mat, jnp.float32),
+        jnp.asarray(wb, jnp.float32).reshape(1, 3),
+        *fields,
+    )
