@@ -210,11 +210,12 @@ _CV2_RGB_TO_XYZ = np.array(
 _CV2_LAB_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
 
-def rgb_to_lab_channels(r: Array, g: Array, b: Array):
+def rgb_to_lab_channels(r: Array, g: Array, b: Array, cbrt_fn=jnp.cbrt):
     """Channelwise RGB [0,1] -> CIELAB (cv2 float semantics; see rgb_to_lab).
 
     Identical math/op-order to rgb_to_lab on separate 2D arrays — usable inside
-    Pallas kernels (no channel stacking)."""
+    Pallas kernels (no channel stacking). ``cbrt_fn`` lets Pallas callers swap in
+    exp(log(x)/3) (Mosaic has no cbrt primitive; ~2 ulp difference)."""
 
     def decode(x):
         x = jnp.clip(x, 0.0, 1.0)
@@ -231,7 +232,7 @@ def rgb_to_lab_channels(r: Array, g: Array, b: Array):
     def f(t):
         return jnp.where(
             t > 0.008856,
-            jnp.cbrt(jnp.maximum(t, 1e-12)),
+            cbrt_fn(jnp.maximum(t, 1e-12)),
             7.787 * t + 16.0 / 116.0,
         )
 

@@ -16,13 +16,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..colorimetry.transforms import cam_to_lin_srgb, rgb_to_lab
+from ..colorimetry.transforms import (
+    cam_to_lin_srgb_matrix,
+    rgb_to_lab_channels,
+)
 from ..core.bayer import bayer_to_rgbg, rgbg_to_bayer
 from ..core.frame import DevelopedImage, RawFrame
 from ..ops.phase_kernels import BayerPatternPosition
 from ..ops.stencil import box_blur3, gaussian_blur3, median5, pad_reflect
 from .eag import resample_channel
-from .homogeneity import homogeneity_map
+from .homogeneity import homogeneity_map_channels
 
 Array = jnp.ndarray
 
@@ -50,31 +53,26 @@ def _build_homogeneity_map(
     already carry WB from the interpolation stage) — replicated for parity.
     """
     wb = frame.wb_reciprocal()
-    im_rgb = cam_to_lin_srgb(
-        jnp.stack([r * wb[0], g * wb[1], b * wb[2]], axis=-1),
-        frame.cam_mat,
-        frame.cam_white,
-        clip_highlights=False,
-    )
+    # Channelwise end-to-end (no (H, W, 3) stacks — those cost relayout passes):
+    # cam->lin-sRGB is the 3x3 from cam_to_lin_srgb_matrix, clip_highlights=False.
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    rr, gg, bb = r * wb[0], g * wb[1], b * wb[2]
+    ir = mat[0, 0] * rr + mat[0, 1] * gg + mat[0, 2] * bb
+    ig = mat[1, 0] * rr + mat[1, 1] * gg + mat[1, 2] * bb
+    ib = mat[2, 0] * rr + mat[2, 1] * gg + mat[2, 2] * bb
 
     if frame.is_hdr:
         # HDR: keep unbounded luma as L*, tonemap chroma (ahd.py:52-59)
-        luma = (
-            0.2126 * im_rgb[..., 0]
-            + 0.7152 * im_rgb[..., 1]
-            + 0.0722 * im_rgb[..., 2]
-        )
-        im_rgb = im_rgb / (1.0 + im_rgb)
-        lab = rgb_to_lab(im_rgb)
-        lab = lab.at[..., 0].set(luma)
+        luma = 0.2126 * ir + 0.7152 * ig + 0.0722 * ib
+        ir = ir / (1.0 + ir)
+        ig = ig / (1.0 + ig)
+        ib = ib / (1.0 + ib)
+        lum, la, lb = rgb_to_lab_channels(ir, ig, ib)
+        lum = luma
     else:
-        lab = rgb_to_lab(im_rgb)
+        lum, la, lb = rgb_to_lab_channels(ir, ig, ib)
 
-    if _use_pallas(use_pallas):
-        from ..ops.pallas_kernels import homogeneity_map_pallas
-
-        return homogeneity_map_pallas(lab, is_vertical)
-    return homogeneity_map(lab, is_vertical)
+    return homogeneity_map_channels(lum, la, lb, is_vertical)
 
 
 def postprocess_color(image: Array, use_pallas: bool = False) -> Array:
@@ -164,26 +162,13 @@ def demosaic_ahd(
     b_v = resample_channel(b_c, gv_b, delta_gv_hf, BayerPatternPosition.BOTTOM_RIGHT)
 
     # Direction decision on box-blurred homogeneity (ahd.py:129-145).
-    pick = None
-    if _use_pallas(use_pallas):
-        from ..colorimetry.transforms import cam_to_lin_srgb_matrix
-        from ..ops.pallas_kernels import ahd_decision_pallas
-
-        color_mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
-        pick = ahd_decision_pallas(
-            r_h, g_h, b_h, r_v, g_v, b_v,
-            color_mat, frame.wb_reciprocal(), frame.is_hdr,
-        )
-    if pick is None:
-        map_h = box_blur3(
-            _build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas)
-        )
-        map_v = box_blur3(
-            _build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas)
-        )
-        pick = (map_h < map_v).astype(jnp.float32)
-
-    pick_h = pick[..., None]
+    # (A fully fused Pallas decision kernel exists — ops.pallas_kernels.
+    # ahd_decision_pallas — but measured only ~2ms faster than this XLA chain at
+    # 24MP while flipping ~9% of exact-tie picks through Mosaic's different
+    # transcendentals, so the XLA chain stays the default path.)
+    map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
+    map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
+    pick_h = (map_h < map_v).astype(jnp.float32)[..., None]
     rgb_h = jnp.stack([r_h, g_h, b_h], axis=-1)
     rgb_v = jnp.stack([r_v, g_v, b_v], axis=-1)
     debayered = rgb_h * pick_h + rgb_v * (1.0 - pick_h)

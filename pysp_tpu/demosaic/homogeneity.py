@@ -17,16 +17,13 @@ from ..ops.stencil import pad_reflect
 Array = jnp.ndarray
 
 
-def homogeneity_map(lab: Array, is_vertical: bool, domain_k: int = 3) -> Array:
-    """Count in-window neighbors within adaptive (eps_L, eps_C^2) bounds of each pixel.
-
-    ``lab`` is the UNPADDED (H, W, 3) CIELAB image — padding (BORDER_REFLECT, matching
-    ahd.py:65) happens internally.
-    """
+def homogeneity_map_channels(
+    lum: Array, a: Array, b: Array, is_vertical: bool, domain_k: int = 3
+) -> Array:
+    """Channelwise homogeneity count (keeps the LAB planes un-stacked — the stacked
+    (H, W, 3) layout costs extra relayout passes on TPU)."""
     assert domain_k % 2 == 1
     k_pad = domain_k // 2
-
-    lum, a, b = lab[..., 0], lab[..., 1], lab[..., 2]
 
     lum_p = pad_reflect(lum, k_pad)
     a_p = pad_reflect(a, k_pad)
@@ -62,3 +59,14 @@ def homogeneity_map(lab: Array, is_vertical: bool, domain_k: int = 3) -> Array:
             count = count + ok.astype(jnp.float32)
 
     return count
+
+
+def homogeneity_map(lab: Array, is_vertical: bool, domain_k: int = 3) -> Array:
+    """Count in-window neighbors within adaptive (eps_L, eps_C^2) bounds of each pixel.
+
+    ``lab`` is the UNPADDED (H, W, 3) CIELAB image — padding (BORDER_REFLECT, matching
+    ahd.py:65) happens internally.
+    """
+    return homogeneity_map_channels(
+        lab[..., 0], lab[..., 1], lab[..., 2], is_vertical, domain_k
+    )

@@ -406,6 +406,10 @@ def _ahd_decision_kernel(
     """
     from ..colorimetry.transforms import rgb_to_lab_channels
 
+    def _cbrt(x):
+        # Mosaic has no cbrt primitive; x is pre-clamped >= 1e-12
+        return jnp.exp(jnp.log(x) * jnp.float32(1.0 / 3.0))
+
     i = pl.program_id(0)
     n = pl.num_programs(0)
     rows = tile_h + 2 * _ALIGN
@@ -457,10 +461,10 @@ def _ahd_decision_kernel(
             ir = ir / (1.0 + ir)
             ig = ig / (1.0 + ig)
             ib = ib / (1.0 + ib)
-            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib)
+            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib, cbrt_fn=_cbrt)
             lum = luma
         else:
-            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib)
+            lum, aa, bb = rgb_to_lab_channels(ir, ig, ib, cbrt_fn=_cbrt)
         return lum, aa, bb
 
     k9 = jnp.float32(np.float32(1.0 / 9.0))
@@ -545,7 +549,7 @@ def ahd_decision_pallas(
     """
     h, w = r_h.shape
     if tile_h == 0:
-        tile_h = _pick_tile(h, w, live_values=22)
+        tile_h = _pick_tile(h, w, live_values=34)
     if tile_h == 0:
         return None  # caller falls back to the XLA path
 
