@@ -75,6 +75,14 @@ def _build_homogeneity_map(
     return homogeneity_map_channels(lum, la, lb, is_vertical)
 
 
+def postprocess_color_channels(r: Array, g: Array, b: Array):
+    """One chroma-median stage on separate channels (ahd.py:148-161)."""
+    r = median5(r - g) + g
+    b = median5(b - g) + g
+    g = (median5(g - r) + median5(g - b) + r + b) * 0.5
+    return r, g, b
+
+
 def postprocess_color(image: Array, use_pallas: bool = False) -> Array:
     """One chroma-median stage (ahd.py:148-161): median5 on color differences.
 
@@ -85,19 +93,15 @@ def postprocess_color(image: Array, use_pallas: bool = False) -> Array:
 
         return postprocess_color_pallas(image)
 
-    r = image[..., 0]
-    g = image[..., 1]
-    b = image[..., 2]
-
-    r = median5(r - g) + g
-    b = median5(b - g) + g
-    g = (median5(g - r) + median5(g - b) + r + b) * 0.5
+    r, g, b = postprocess_color_channels(image[..., 0], image[..., 1], image[..., 2])
     return jnp.stack([r, g, b], axis=-1)
 
 
-def demosaic_ahd(
+def demosaic_ahd_channels(
     frame: RawFrame, postprocess_stages: int = 1, use_pallas: bool = False
-) -> DevelopedImage:
+):
+    """AHD demosaic returning separate (r, g, b) channels — the TPU-native hot path
+    (channel stacks cost relayout passes; develop stacks once at the very end)."""
     r0, g1_0, b0, g2_0 = bayer_to_rgbg(frame.bayer)
     wb = frame.wb_reciprocal()
 
@@ -168,17 +172,29 @@ def demosaic_ahd(
     # transcendentals, so the XLA chain stays the default path.)
     map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
     map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
-    pick_h = (map_h < map_v).astype(jnp.float32)[..., None]
-    rgb_h = jnp.stack([r_h, g_h, b_h], axis=-1)
-    rgb_v = jnp.stack([r_v, g_v, b_v], axis=-1)
-    debayered = rgb_h * pick_h + rgb_v * (1.0 - pick_h)
+    pick = (map_h < map_v).astype(jnp.float32)
+    inv = 1.0 - pick
+    out_r = r_h * pick + r_v * inv
+    out_g = g_h * pick + g_v * inv
+    out_b = b_h * pick + b_v * inv
 
+    if _use_pallas(use_pallas):
+        from ..ops.pallas_kernels import postprocess_color_pallas_channels as pp
+    else:
+        pp = postprocess_color_channels
     for _ in range(max(int(postprocess_stages), 0)):
-        debayered = postprocess_color(debayered, use_pallas)
+        out_r, out_g, out_b = pp(out_r, out_g, out_b)
 
+    return out_r, out_g, out_b
+
+
+def demosaic_ahd(
+    frame: RawFrame, postprocess_stages: int = 1, use_pallas: bool = False
+) -> DevelopedImage:
+    r, g, b = demosaic_ahd_channels(frame, postprocess_stages, use_pallas)
     return DevelopedImage(
-        image=debayered.astype(jnp.float32),
-        wb_coeff=wb,
+        image=jnp.stack([r, g, b], axis=-1).astype(jnp.float32),
+        wb_coeff=frame.wb_reciprocal(),
         cam_mat=frame.cam_mat,
         cam_white=frame.cam_white,
         ev=frame.ev,

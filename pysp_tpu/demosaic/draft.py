@@ -16,7 +16,8 @@ from ..ops.stencil import pad_reflect, upsample2x_bilinear_cv2
 Array = jnp.ndarray
 
 
-def demosaic_draft(frame: RawFrame) -> DevelopedImage:
+def demosaic_draft_channels(frame: RawFrame):
+    """Draft demosaic returning separate (r, g, b) channels."""
     r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
     wb = frame.wb_reciprocal()
 
@@ -31,8 +32,17 @@ def demosaic_draft(frame: RawFrame) -> DevelopedImage:
     bp = pad_reflect(b, (1, 0, 1, 0))
     b_center = 0.75 * bp[1:, 1:] + 0.25 * bp[:-1, :-1]
 
-    rgb = jnp.stack([r_center * wb[0], g, b_center * wb[2]], axis=-1)
-    rgb = upsample2x_bilinear_cv2(rgb)
+    return (
+        upsample2x_bilinear_cv2(r_center * wb[0]),
+        upsample2x_bilinear_cv2(g),
+        upsample2x_bilinear_cv2(b_center * wb[2]),
+    )
+
+
+def demosaic_draft(frame: RawFrame) -> DevelopedImage:
+    r, g, b = demosaic_draft_channels(frame)
+    wb = frame.wb_reciprocal()
+    rgb = jnp.stack([r, g, b], axis=-1)
 
     return DevelopedImage(
         image=rgb.astype(jnp.float32),

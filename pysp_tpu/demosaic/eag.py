@@ -128,13 +128,20 @@ def resample_b(b: Array, g_upscaled: Array) -> Array:
     return resample_channel(b, g_b, g_hf_cut, BayerPatternPosition.BOTTOM_RIGHT)
 
 
-def demosaic_eag(frame: RawFrame) -> DevelopedImage:
-    """Fast demosaic entry point (edge_assisted_gaussian.py:188-201)."""
+def demosaic_eag_channels(frame: RawFrame):
+    """Fast demosaic returning separate (r, g, b) channels (the TPU hot path)."""
     r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
     wb = frame.wb_reciprocal()
 
     g_up = resample_g_to_full_resolution(g1, g2) * wb[1]
     r_up, b_up = resample_rb(r * wb[0], b * wb[2], g_up)
+    return r_up, g_up, b_up
+
+
+def demosaic_eag(frame: RawFrame) -> DevelopedImage:
+    """Fast demosaic entry point (edge_assisted_gaussian.py:188-201)."""
+    r_up, g_up, b_up = demosaic_eag_channels(frame)
+    wb = frame.wb_reciprocal()
 
     rgb = jnp.stack([r_up, g_up, b_up], axis=-1)
     return DevelopedImage(

@@ -346,33 +346,33 @@ def _postprocess_kernel(r_hbm, g_hbm, b_hbm, ro, go, bo, r_s, g_s, b_s, sems, *,
     bo[:] = b_c
 
 
-def postprocess_color_pallas(image: Array, tile_h: int = 0) -> Array:
-    """Fused AHD chroma-median postprocess stage (see demosaic.ahd.postprocess_color).
+def postprocess_color_pallas_channels(
+    r: Array, g: Array, b: Array, tile_h: int = 0
+):
+    """Fused AHD chroma-median postprocess stage on separate channels.
 
     Border semantics match the XLA path: each median uses replicate padding of its
     *input* (the reference's cv2.medianBlur border), including the second-layer
     medians whose inputs are the healed r'/b' — replicated here by computing r'/b'
-    into the halo before the outer medians.
+    into the halo before the outer medians. Bit-identical to the XLA networks.
     """
-    from ..demosaic.ahd import postprocess_color as postprocess_xla
-
-    h, w = image.shape[0], image.shape[1]
+    h, w = r.shape[0], r.shape[1]
     if tile_h == 0:
         tile_h = _pick_tile(h, w, live_values=36)
     if tile_h == 0:
-        return postprocess_xla(image)
+        from ..demosaic.ahd import postprocess_color_channels
+
+        return postprocess_color_channels(r, g, b)
 
     wp = _round_up(w + 8, _LANE)
     planes = [
-        jnp.pad(
-            image[..., c], ((_ALIGN, _ALIGN), (4, wp - w - 4)), mode="edge"
-        )
-        for c in range(3)
+        jnp.pad(c, ((_ALIGN, _ALIGN), (4, wp - w - 4)), mode="edge")
+        for c in (r, g, b)
     ]
 
     kernel = partial(_postprocess_kernel, tile_h=tile_h, width=w)
-    shape = jax.ShapeDtypeStruct((h, w), image.dtype)
-    r, g, b = pl.pallas_call(
+    shape = jax.ShapeDtypeStruct((h, w), r.dtype)
+    out_r, out_g, out_b = pl.pallas_call(
         kernel,
         grid=(h // tile_h,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
@@ -381,13 +381,21 @@ def postprocess_color_pallas(image: Array, tile_h: int = 0) -> Array:
         ] * 3,
         out_shape=[shape, shape, shape],
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
-            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
-            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), image.dtype),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), r.dtype),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), r.dtype),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), r.dtype),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*planes)
+    return out_r, out_g, out_b
+
+
+def postprocess_color_pallas(image: Array, tile_h: int = 0) -> Array:
+    """Stacked-image wrapper over postprocess_color_pallas_channels."""
+    r, g, b = postprocess_color_pallas_channels(
+        image[..., 0], image[..., 1], image[..., 2], tile_h
+    )
     return jnp.stack([r, g, b], axis=-1)
 
 

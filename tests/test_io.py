@@ -274,3 +274,48 @@ def test_save_tiff16_roundtrip(tmp_path):
         dtype="<u2",
     ).reshape(16, 20, 3)
     np.testing.assert_allclose(raw / 65535.0, srgb, atol=1e-4)
+
+
+def test_big_endian_tiff_parse():
+    """Reader handles MM (big-endian) containers."""
+    import struct
+
+    # hand-build a tiny big-endian TIFF: one IFD with ImageWidth
+    out = b"MM\x00\x2a" + struct.pack(">L", 8)
+    entries = struct.pack(">HHL4s", 256, 3, 1, struct.pack(">H", 123) + b"\x00\x00")
+    out += struct.pack(">H", 1) + entries + struct.pack(">L", 0)
+    tf = T.read_tiff(out)
+    assert tf.endian == ">"
+    assert tf.ifds[0].get(256).as_ints() == [123]
+
+
+def test_multi_strip_dng_read():
+    """Multi-strip organization: 4 strips of 8 rows, plus the tile assembly path."""
+    bayer = make_bayer_u16(32, 40, seed=50)
+    blob = T.write_synthetic_dng(bayer)
+    tf = T.read_tiff(blob)
+    raw = tf.find_raw_ifd()
+    base = raw.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
+    per = 8 * 40 * 2
+
+    # carve the single strip into 4 by mutating the parsed IFD
+    raw.tags[T.TAG_STRIP_OFFSETS] = T.TiffTag(
+        T.TAG_STRIP_OFFSETS, T.TYPE_LONG, 4, [base + i * per for i in range(4)]
+    )
+    raw.tags[T.TAG_STRIP_BYTE_COUNTS] = T.TiffTag(
+        T.TAG_STRIP_BYTE_COUNTS, T.TYPE_LONG, 4, [per] * 4
+    )
+    raw.tags[T.TAG_ROWS_PER_STRIP] = T.TiffTag(
+        T.TAG_ROWS_PER_STRIP, T.TYPE_LONG, 1, [8]
+    )
+    np.testing.assert_array_equal(tf.read_strips(raw), bayer)
+
+    # tile organization: 2x2 grid of 16x20 tiles over the same data, re-ordered
+    tiles = [
+        bayer[ty * 16 : ty * 16 + 16, tx * 20 : tx * 20 + 20]
+        for ty in range(2)
+        for tx in range(2)
+    ]
+    flat = np.concatenate([t.reshape(-1) for t in tiles])
+    got = T._assemble_tiles(flat, 32, 40, 16, 20, 4)
+    np.testing.assert_array_equal(got, bayer)
