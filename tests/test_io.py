@@ -231,7 +231,10 @@ def test_cli_develop_and_info(tmp_path):
     src.write_bytes(T.write_synthetic_dng(bayer))
     dst = tmp_path / "out.png"
 
+    # JAX_PLATFORMS=cpu for speed; drop the axon bootstrap entirely — its
+    # register() call at interpreter start can hang when the TPU tunnel is busy.
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-m", "pysp_tpu.cli", "develop", str(src),
          "-o", str(dst), "--quality", "fast"],
