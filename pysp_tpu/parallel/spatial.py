@@ -19,6 +19,7 @@ Batch parallelism (``develop_burst_sharded``) shards the leading frame axis over
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -53,6 +54,9 @@ def develop_spatial(
 ) -> Array:
     """Develop one frame with its rows sharded over the mesh's spatial axis."""
     assert halo % 2 == 0, "halo must keep CFA phase"
+    # Manual-DMA Pallas kernels inside shard_map are untested on real multi-chip
+    # topologies; keep sharded develops on the pure-XLA path.
+    cfg = dataclasses.replace(cfg, use_pallas=False)
     n_sp = mesh.shape[SPATIAL_AXIS]
     h = frame.bayer.shape[0]
     assert h % (2 * n_sp) == 0, f"height {h} must split into CFA-aligned blocks"
@@ -116,6 +120,7 @@ def develop_burst_sharded(
 ) -> Array:
     """Develop a batched RawFrame with the frame axis sharded over 'batch'."""
     n_b = mesh.shape[BATCH_AXIS]
+    cfg = dataclasses.replace(cfg, use_pallas=False)  # see develop_spatial note
     assert frames.bayer.shape[0] % n_b == 0
 
     def local_fn(bayer, cam_mat, cam_white, wb_neutral, ev, lim_sat):
@@ -158,6 +163,7 @@ def develop_burst_spatial(
     over frames, spatial row-sharding with ICI halo exchange within each frame.
     """
     assert halo % 2 == 0
+    cfg = dataclasses.replace(cfg, use_pallas=False)  # see develop_spatial note
     n_b = mesh.shape[BATCH_AXIS]
     n_sp = mesh.shape[SPATIAL_AXIS]
     n, h = frames.bayer.shape[0], frames.bayer.shape[1]
