@@ -14,13 +14,11 @@ cv2.filter2D (and like lax.conv_general_dilated, which does not flip kernels).
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 Array = jnp.ndarray
 

@@ -20,13 +20,11 @@ Batch parallelism (``develop_burst_sharded``) shards the leading frame axis over
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.frame import RawFrame
 from ..pipeline.develop import DevelopConfig, develop
