@@ -43,7 +43,10 @@ def _find_exif_scalar(tf: T.TiffFile, tag: int) -> Optional[float]:
 
 
 def compute_ev_from_tiff(source: Source) -> float:
-    """EV from embedded EXIF; inf if unreadable (image.py:31-73)."""
+    """EV from embedded EXIF; inf if unreadable (image.py:31-73).
+
+    Includes the reference's Panasonic quirk: when ISOSpeedRatings is absent and
+    Make is Panasonic, ISO lives in maker tag 0x0017 (image.py:68-70)."""
     try:
         tf = T.read_tiff(source)
     except Exception:
@@ -52,6 +55,13 @@ def compute_ev_from_tiff(source: Source) -> float:
     exp_time = _find_exif_scalar(tf, T.TAG_EXPOSURE_TIME)
     f_stop = _find_exif_scalar(tf, T.TAG_F_NUMBER)
     iso = _find_exif_scalar(tf, T.TAG_ISO_SPEED)
+
+    if not iso and tf.ifds:
+        make_tag = tf.ifds[0].get(T.TAG_MAKE)
+        if make_tag is not None and b"Panasonic" in make_tag.as_bytes():
+            pana = tf.ifds[0].get(0x0017)
+            if pana is not None and pana.as_floats():
+                iso = pana.as_floats()[0]
 
     return compute_ev(
         iso if iso else 100.0,

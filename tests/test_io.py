@@ -322,3 +322,18 @@ def test_multi_strip_dng_read():
     flat = np.concatenate([t.reshape(-1) for t in tiles])
     got = T._assemble_tiles(flat, 32, 40, 16, 20, 4)
     np.testing.assert_array_equal(got, bayer)
+
+
+def test_panasonic_iso_quirk():
+    """ISO from maker tag 0x0017 when ISOSpeedRatings is absent (image.py:68-70)."""
+    ifd0 = {
+        T.TAG_MAKE: (T.TYPE_ASCII, b"Panasonic\x00"),
+        0x0017: (T.TYPE_SHORT, [800]),
+    }
+    exif = {
+        T.TAG_EXPOSURE_TIME: (T.TYPE_RATIONAL, [(1, 50)]),
+        T.TAG_F_NUMBER: (T.TYPE_RATIONAL, [(2, 1)]),
+    }
+    blob = T.TiffWriter().write(ifd0, None, exif)
+    ev = compute_ev_from_tiff(blob)
+    assert abs(ev - compute_ev(800, 1 / 50, 2.0)) < 1e-6
