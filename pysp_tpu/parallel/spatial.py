@@ -122,7 +122,8 @@ def develop_burst_sharded(
     assert frames.bayer.shape[0] % n_b == 0
 
     def local_fn(bayer, cam_mat, cam_white, wb_neutral, ev, lim_sat):
-        def one(b, cm, cw, wn, e, ls):
+        def one(args):
+            b, cm, cw, wn, e, ls = args
             f = RawFrame(
                 bayer=b, cam_mat=cm, cam_white=cw, wb_neutral=wn, ev=e,
                 lim_sat=ls, is_hdr=frames.is_hdr,
@@ -130,7 +131,10 @@ def develop_burst_sharded(
             )
             return develop.__wrapped__(f, cfg)
 
-        return jax.vmap(one)(bayer, cam_mat, cam_white, wb_neutral, ev, lim_sat)
+        # lax.map, not vmap: one frame saturates a chip; vmapped stencils are slower
+        return jax.lax.map(
+            one, (bayer, cam_mat, cam_white, wb_neutral, ev, lim_sat)
+        )
 
     spec = P(BATCH_AXIS)
     sharded = jax.shard_map(
@@ -188,7 +192,8 @@ def develop_burst_spatial(
 
         padded = jax.vmap(pad_one)(bayer, from_below, from_above)
 
-        def one(b, cm, cw, wn, e, ls):
+        def one(args):
+            b, cm, cw, wn, e, ls = args
             f = RawFrame(
                 bayer=b, cam_mat=cm, cam_white=cw, wb_neutral=wn, ev=e,
                 lim_sat=ls, is_hdr=frames.is_hdr,
@@ -196,7 +201,9 @@ def develop_burst_spatial(
             )
             return develop.__wrapped__(f, cfg)[halo:-halo]
 
-        return jax.vmap(one)(padded, cam_mat, cam_white, wb_neutral, ev, lim_sat)
+        return jax.lax.map(
+            one, (padded, cam_mat, cam_white, wb_neutral, ev, lim_sat)
+        )
 
     bspec = P(BATCH_AXIS)
     sharded = jax.shard_map(

@@ -107,9 +107,13 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def develop_burst(frames: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
-    """Develop a burst: every pytree leaf of ``frames`` carries a leading batch axis."""
-    cfg = dataclasses.replace(cfg, use_pallas=False)
-    return jax.vmap(lambda f: develop.__wrapped__(f, cfg))(frames)
+    """Develop a burst: every pytree leaf of ``frames`` carries a leading batch axis.
+
+    Frames run through lax.map (sequentially on-device), not vmap: one 24MP-class
+    frame already saturates the chip, and vmap's batched stencil layouts measured
+    2.6x slower (392 vs 1003 MP/s on 16x1.5MP AHD) while also forcing the Pallas
+    kernels off. Sequential mapping keeps the single-frame fast path intact."""
+    return jax.lax.map(lambda f: develop.__wrapped__(f, cfg), frames)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
