@@ -1,0 +1,71 @@
+"""Whole-AHD megakernel dispatch: banded Pallas interior + XLA border strips.
+
+Reference behavior: /root/reference/debayer/ahd.py:14-170 — same output contract as
+demosaic_ahd_channels. The interior comes from ops.pallas_kernels.ahd_mega_pallas
+(every demosaic stage in VMEM, one HBM read + write per pixel); pixels within
+2*margin_for(stages) of the global image border depend on border rules applied to
+*intermediates* (reflect101 convs, symmetric LAB, replicate medians), which a
+halo-fed band kernel cannot reproduce, so those strips are recomputed with the exact
+XLA path on narrow crops (~2.5% extra pixels at 24MP) and stitched over.
+
+Result: bit-identical to demosaic_ahd_channels everywhere except interior
+homogeneity picks that land on exact adaptive-epsilon boundaries (Mosaic's
+exp(log/3) cbrt vs XLA cbrt, ~2 ulp) — both picks equally valid; see
+DIVERGENCES.md.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..colorimetry.transforms import cam_to_lin_srgb_matrix
+from ..core.bayer import bayer_to_rgbg
+from ..core.frame import RawFrame
+from ..ops.polyphase import quad_to_bayer
+from .ahd import demosaic_ahd_channels
+from .ahd_band import margin_for
+
+Array = jnp.ndarray
+
+
+def demosaic_ahd_mega(
+    frame: RawFrame, postprocess_stages: int = 1, interpret: bool = False
+):
+    """AHD demosaic via the Pallas megakernel; falls back to the XLA path when the
+    image is too small for the border strips or no VMEM tiling divides H/2."""
+    from ..ops.pallas_kernels import ahd_mega_pallas
+
+    h, w = frame.bayer.shape[-2], frame.bayer.shape[-1]
+    f = 2 * margin_for(postprocess_stages)  # full-res border width to restitch
+    s = 2 * f + 8  # strip size: f pasted rows + f reach + CFA/tile slack
+    if frame.bayer.ndim != 2 or h < 4 * s or w < 4 * s:
+        return demosaic_ahd_channels(frame, postprocess_stages, use_pallas=True)
+
+    r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    out = ahd_mega_pallas(
+        (r0, g1, g2, b0), mat, frame.wb_reciprocal(), frame.is_hdr,
+        postprocess_stages=postprocess_stages, interpret=interpret,
+    )
+    if out is None:
+        return demosaic_ahd_channels(frame, postprocess_stages, use_pallas=True)
+
+    chans = [
+        quad_to_bayer(((out[k], out[k + 1]), (out[k + 2], out[k + 3])))
+        for k in (0, 4, 8)
+    ]
+
+    def crop(rows, cols):
+        sub = frame.replace(bayer=frame.bayer[rows, cols])
+        return demosaic_ahd_channels(sub, postprocess_stages)
+
+    top = crop(slice(0, s), slice(None))
+    bot = crop(slice(h - s, h), slice(None))
+    left = crop(slice(None), slice(0, s))
+    right = crop(slice(None), slice(w - s, w))
+
+    stitched = []
+    for c, t, bo, le, ri in zip(chans, top, bot, left, right):
+        c = jnp.concatenate([t[:f, :], c[f : h - f, :], bo[s - f :, :]], axis=0)
+        c = jnp.concatenate([le[:, :f], c[:, f : w - f], ri[:, s - f :]], axis=1)
+        stitched.append(c)
+    return stitched[0], stitched[1], stitched[2]

@@ -594,3 +594,136 @@ def ahd_decision_pallas(
         jnp.asarray(wb, jnp.float32).reshape(1, 3),
         *fields,
     )
+
+
+def _ahd_mega_kernel(
+    mat_ref, wb_ref,
+    r_hbm, g1_hbm, g2_hbm, b_hbm,
+    *refs,
+    tile_h: int, width: int, is_hdr: bool, stages: int,
+):
+    """Whole-AHD megakernel: one DMA of the 4 CFA phase planes per band, every
+    demosaic stage (directional interp, reconstruction, CIELAB homogeneity,
+    box-blurred decision, chroma medians) computed in VMEM via the roll-based
+    valid-mode band core (demosaic/ahd_band.py), 12 output planes written once.
+    HBM traffic: 1 read + 3 writes per pixel — vs ~1 round-trip per stage for XLA.
+    """
+    from ..demosaic.ahd_band import ahd_band_quads
+
+    outs = refs[:12]
+    scratch, sems = refs[12], refs[13]
+
+    def _cbrt(x):
+        # Mosaic has no cbrt primitive; inputs are pre-clamped > 0
+        return jnp.exp(jnp.log(x) * jnp.float32(1.0 / 3.0))
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tile_h + 2 * _ALIGN
+    srcs = (r_hbm, g1_hbm, g2_hbm, b_hbm)
+
+    def band(j, slot, k):
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(j * tile_h, rows), :],
+            scratch.at[slot, k],
+            sems.at[slot * 4 + k],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(4):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(4):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(4):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    planes = tuple(scratch[slot, k] for k in range(4))
+    wb = (wb_ref[0, 0], wb_ref[0, 1], wb_ref[0, 2])
+
+    out_r, out_g, out_b = ahd_band_quads(
+        planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
+    )
+
+    k = 0
+    for quad in (out_r, out_g, out_b):
+        for py in (0, 1):
+            for px in (0, 1):
+                outs[k][:] = quad[py][px][
+                    _ALIGN : _ALIGN + tile_h, _ALIGN : _ALIGN + width
+                ]
+                k += 1
+
+
+def ahd_mega_pallas(
+    planes, color_mat: Array, wb: Array, is_hdr: bool,
+    postprocess_stages: int = 1, tile_h: int = 0, interpret: bool = False,
+):
+    """Run the AHD megakernel over CFA phase planes (r, g1, g2, b), each (H/2, W/2).
+
+    Returns 12 planes [r00, r01, r10, r11, g00, ..., b11] of shape (H/2, W/2), or
+    None if no dividing tile fits VMEM (caller falls back). Values within
+    2*margin_for(stages) full-res pixels of the global border are computed from
+    replicate-padded halos and must be overwritten by the caller (see
+    demosaic.ahd_mega.demosaic_ahd_mega's XLA border strips).
+    """
+    from ..demosaic.ahd_band import margin_for
+
+    h2, w2 = planes[0].shape
+    if margin_for(postprocess_stages) > _ALIGN:
+        return None
+    wp = _round_up(w2 + 2 * _ALIGN, _LANE)
+    if tile_h == 0:
+        # Peak live set measured from Mosaic's scoped-vmem report: candidate quads +
+        # LAB + median wires + double-buffered outputs ~ 120 band-sized planes
+        # (tile 184 at wp 1152 exceeded the 100MB budget; tile 88 fits).
+        budget_rows = (_VMEM_LIMIT // 2) // max(128 * wp * 4, 1)
+        tile_h = min(256, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
+    if tile_h % 8 or tile_h < 8:
+        return None
+
+    # Height needn't divide: planes are edge-padded up to a tile multiple and the
+    # overhang rows (garbage computed from replicated data) sliced off after.
+    h2p = _round_up(h2, tile_h)
+    padded = [
+        jnp.pad(
+            p, ((_ALIGN, _ALIGN + h2p - h2), (_ALIGN, wp - w2 - _ALIGN)), mode="edge"
+        )
+        for p in planes
+    ]
+
+    kernel = partial(
+        _ahd_mega_kernel, tile_h=tile_h, width=w2,
+        is_hdr=is_hdr, stages=postprocess_stages,
+    )
+    shape = jax.ShapeDtypeStruct((h2p, w2), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(h2p // tile_h,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=[
+            pl.BlockSpec((tile_h, w2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 12,
+        out_shape=[shape] * 12,
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(
+        jnp.asarray(color_mat, jnp.float32),
+        jnp.asarray(wb, jnp.float32).reshape(1, 3),
+        *padded,
+    )
+    if h2p != h2:
+        outs = [o[:h2] for o in outs]
+    return outs

@@ -49,8 +49,9 @@ def quad_to_bayer(quad: Quad) -> Array:
 def shift_fullres(quad: Quad, py: int, px: int, dy: int, dx: int, border: str) -> Array:
     """The full-res field sampled at (2i+py+dy, 2j+px+dx) as a plane for phase (py, px).
 
-    Supports |dy|, |dx| <= 2 and borders 'reflect101' (cv2 filter default) and
-    'replicate' (cv2 medianBlur).
+    Supports |dy|, |dx| <= 2 and borders 'reflect101' (cv2 filter default),
+    'replicate' (cv2 medianBlur) and 'symmetric' (cv2 BORDER_REFLECT: full row -1 -> 0,
+    -2 -> 1 — always cross-phase in plane space).
     """
     sy = py + dy
     sx = px + dx
@@ -78,10 +79,10 @@ def shift_fullres(quad: Quad, py: int, px: int, dy: int, dx: int, border: str) -
                     pad = p[..., 0:1, :]
                 else:        # full row -2 -> full +2 = plane row 1
                     pad = p[..., 1:2, :]
-            else:  # replicate: any full row < 0 -> full row 0 (phase 0)
-                pad = quad[0][qx][..., 0:1, :] if border == "replicate" else None
-                if qy == 0:
-                    pad = p[..., 0:1, :]
+            elif border == "replicate":  # any full row < 0 -> full row 0 (phase 0)
+                pad = quad[0][qx][..., 0:1, :] if qy == 1 else p[..., 0:1, :]
+            else:  # symmetric: full -1 -> 0 ; full -2 -> 1 (always cross-phase)
+                pad = quad[1 - qy][qx][..., 0:1, :]
             return jnp.concatenate([pad, p[..., :-1, :]], axis=-2)
         # oy == +1: plane rows 1..h2; row h2 is full row 2*h2+qy (>= H)
         if border == "reflect101":
@@ -90,50 +91,42 @@ def shift_fullres(quad: Quad, py: int, px: int, dy: int, dx: int, border: str) -
                 pad = p[..., -1:, :]
             else:        # full 2*h2+1 -> 2*h2-3 = phase-1 plane row h2-2
                 pad = p[..., -2:-1, :]
-        else:  # replicate: any full row >= H -> full row H-1 (phase 1)
-            if qy == 1:
-                pad = p[..., -1:, :]
-            else:
-                pad = quad[1][qx][..., -1:, :]
+        elif border == "replicate":  # any full row >= H -> full row H-1 (phase 1)
+            pad = p[..., -1:, :] if qy == 1 else quad[1][qx][..., -1:, :]
+        else:  # symmetric: full H -> H-1 ; full H+1 -> H-2 (cross-phase)
+            pad = quad[1 - qy][qx][..., -1:, :]
         return jnp.concatenate([p[..., 1:, :], pad], axis=-2)
 
-    # replicate cross-phase case for the top: full row < 0 -> row 0 (phase 0)
-    if border == "replicate" and oy == -1 and qy == 1:
-        pad = quad[0][qx][..., 0:1, :]
-        plane = jnp.concatenate([pad, plane[..., :-1, :]], axis=-2)
-    else:
-        plane = row_view(plane, oy)
+    plane = row_view(plane, oy)
 
     def col_view(p: Array, ox: int) -> Array:
         if ox == 0:
             return p
         if ox == -1:
             if border == "reflect101":
-                if qx == 1:
-                    pad = p[..., :, 0:1]
-                else:
-                    pad = p[..., :, 1:2]
-            else:
+                pad = p[..., :, 0:1] if qx == 1 else p[..., :, 1:2]
+            elif border == "replicate":
                 if qx == 0:
                     pad = p[..., :, 0:1]
                 else:
-                    # cross-phase col: full col < 0 -> col 0 (phase 0); but the row
-                    # shift has already been applied to ``p`` of phase (qy, qx) —
-                    # borrow from the row-shifted phase (qy, 0) field instead
+                    # cross-phase col: full col < 0 -> col 0 (phase 0); borrow from
+                    # the row-shifted phase-(.,0) field (dx=0: no further col pads)
                     pad = shift_fullres(quad, py, 0, dy, 0, border)[..., :, 0:1]
+            else:  # symmetric: full -1 -> 0 ; full -2 -> 1 (cross-phase)
+                target_col = 0 if qx == 1 else 1
+                pad = shift_fullres(quad, py, target_col, dy, 0, border)[..., :, 0:1]
             return jnp.concatenate([pad, p[..., :, :-1]], axis=-1)
         if border == "reflect101":
-            if qx == 0:
-                pad = p[..., :, -1:]
-            else:
-                pad = p[..., :, -2:-1]
-        else:
+            pad = p[..., :, -1:] if qx == 0 else p[..., :, -2:-1]
+        elif border == "replicate":
             if qx == 1:
                 pad = p[..., :, -1:]
             else:
-                # full col >= W clamps to W-1 (phase 1): borrow the row-shifted
-                # phase-(.,1) field's last column (dx=0 -> no further col pads)
+                # full col >= W clamps to W-1 (phase 1)
                 pad = shift_fullres(quad, py, 1, dy, 0, border)[..., :, -1:]
+        else:  # symmetric: full W -> W-1 ; full W+1 -> W-2 (cross-phase)
+            target_col = 1 if qx == 0 else 0
+            pad = shift_fullres(quad, py, target_col, dy, 0, border)[..., :, -1:]
         return jnp.concatenate([p[..., :, 1:], pad], axis=-1)
 
     return col_view(plane, ox)

@@ -58,6 +58,12 @@ def _demosaic_channels(frame: RawFrame, cfg: DevelopConfig):
     from ..demosaic.eag import demosaic_eag_channels
 
     if cfg.quality == QualityDemosaic.Best:
+        if cfg.use_pallas and jax.default_backend() == "tpu" and frame.bayer.ndim == 2:
+            from ..demosaic.ahd_mega import demosaic_ahd_mega
+
+            # Whole-AHD megakernel (every stage in VMEM, 1 HBM round-trip);
+            # falls back internally for shapes it cannot tile or stitch.
+            return demosaic_ahd_mega(frame, cfg.postprocess_stages)
         return demosaic_ahd_channels(frame, cfg.postprocess_stages, cfg.use_pallas)
     if cfg.quality == QualityDemosaic.Fast:
         return demosaic_eag_channels(frame)
