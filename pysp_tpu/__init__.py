@@ -33,6 +33,7 @@ from .colorimetry.transforms import (
 from .colorimetry.wb import CameraWhiteBalanceController, controller_from_tags
 from .demosaic import demosaic, demosaic_ahd, demosaic_draft, demosaic_eag
 from .pipeline.develop import DevelopConfig, develop, develop_burst, develop_to_image
+from .pipeline.pipeline import PipelineConfig, develop_pipeline
 from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
 from .io.metadata import (
     compute_ev,
@@ -93,7 +94,9 @@ __all__ = [
     "RawFrame",
     "DevelopedImage",
     "DevelopConfig",
+    "PipelineConfig",
     "develop",
+    "develop_pipeline",
     "develop_burst",
     "develop_to_image",
     "demosaic",

@@ -1,0 +1,128 @@
+"""Statically-composed develop pipeline: corrections + HDR + demosaic in ONE jit.
+
+The reference composes its pipeline as separate user calls mutating the raw in place
+(README.md:55-76; SURVEY.md §3): repair_bad_pixels / flat_frame_correction /
+fuse_exposures_to_raw, then demosaic().to_lin_srgb(). Here the same composition is a
+frozen ``PipelineConfig`` used as a static jit argument, so the whole flow — per-frame
+sensor corrections, Bayer-domain HDR fuse, demosaic, color tail — compiles to a single
+XLA program: no host round-trips between stages, intermediates fused where XLA can.
+
+Burst semantics: a batched ``RawFrame`` (leading axis N on every leaf) runs per-frame
+corrections under ``lax.map`` (sequential on device — one frame already saturates the
+chip; see develop_burst), then either fuses to one HDR frame (``fuse_hdr``) or
+develops every frame.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.frame import RawFrame
+from .develop import DevelopConfig, develop
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static pipeline composition knobs (hashable — a static jit argument).
+
+    Stage order matches the reference's canonical flow (examples/full_pipeline.py):
+    dark subtract -> flat field -> hot-pixel heal -> HDR fuse -> develop.
+    """
+
+    develop: DevelopConfig = DevelopConfig()
+    # dark-frame subtraction (pass ``dark=`` at call time)
+    dark_frame: bool = False
+    # flat-field division (pass ``flat=`` at call time)
+    flat_field: bool = False
+    flat_clamp_high: bool = False
+    # hot-pixel detect (median method) + diffusion heal, per frame
+    repair_hot_pixels: bool = False
+    hot_pixel_multiplier: float = 1.5
+    hot_pixel_quantile: float = 0.9999
+    hot_pixel_iterations: int = 32
+    # burst-consensus masks: flag pixels hot in >= this ratio of frames (None = per-frame)
+    hot_pixel_shared_ratio: Optional[float] = None
+    # Bayer-domain HDR fuse of the (batched) input burst
+    fuse_hdr: bool = False
+    # EV the fuse normalizes to (None = mean of the burst's EVs)
+    hdr_target_ev: Optional[float] = None
+
+
+def _correct_one(
+    frame: RawFrame,
+    cfg: PipelineConfig,
+    flat: Optional[RawFrame],
+    dark: Optional[RawFrame],
+    masks: Optional[Array],
+) -> RawFrame:
+    from ..correct.bad_pixels import find_erroneous_pixels_median, repair_bad_pixels
+    from ..correct.flat_field import dark_frame_subtraction, flat_frame_correction
+
+    if cfg.dark_frame:
+        frame = dark_frame_subtraction(frame, dark)
+    if cfg.flat_field:
+        frame = flat_frame_correction(frame, flat, clamp_high=cfg.flat_clamp_high)
+    if cfg.repair_hot_pixels:
+        if masks is None:
+            masks = find_erroneous_pixels_median(
+                frame, cfg.hot_pixel_multiplier, cfg.hot_pixel_quantile
+            )
+        frame = repair_bad_pixels(frame, masks, cfg.hot_pixel_iterations)
+    return frame
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def develop_pipeline(
+    frames: RawFrame,
+    cfg: PipelineConfig = PipelineConfig(),
+    flat: Optional[RawFrame] = None,
+    dark: Optional[RawFrame] = None,
+) -> Array:
+    """Run the composed pipeline as one XLA program.
+
+    ``frames``: a single RawFrame, or a batched one (leading axis N on every leaf).
+    Returns sRGB (H, W, 3) — or (N, H, W, 3) for a burst without ``fuse_hdr``.
+    """
+    from ..correct.bad_pixels import find_erroneous_pixels_median
+    from ..correct.hdr import fuse_exposures_to_raw
+
+    is_burst = frames.bayer.ndim == 3
+    if cfg.fuse_hdr and not is_burst:
+        raise ValueError("fuse_hdr requires a batched burst (leading frame axis)")
+
+    shared_masks = None
+    if (
+        cfg.repair_hot_pixels
+        and cfg.hot_pixel_shared_ratio is not None
+        and is_burst
+    ):
+        # consensus across the burst (find_shared_pixels semantics, in-graph)
+        per_frame = jax.lax.map(
+            lambda f: find_erroneous_pixels_median(
+                f, cfg.hot_pixel_multiplier, cfg.hot_pixel_quantile
+            ),
+            frames,
+        )
+        n = frames.bayer.shape[0]
+        need = jnp.ceil(n * cfg.hot_pixel_shared_ratio)
+        shared_masks = jnp.sum(per_frame.astype(jnp.int32), axis=0) >= need
+
+    def correct(f):
+        return _correct_one(f, cfg, flat, dark, shared_masks)
+
+    if is_burst:
+        corrected = jax.lax.map(correct, frames)
+        if cfg.fuse_hdr:
+            fused, _counts = fuse_exposures_to_raw(corrected, cfg.hdr_target_ev)
+            return develop.__wrapped__(fused, cfg.develop)
+        return jax.lax.map(
+            lambda f: develop.__wrapped__(f, cfg.develop), corrected
+        )
+
+    return develop.__wrapped__(correct(frames), cfg.develop)
