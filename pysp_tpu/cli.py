@@ -29,11 +29,28 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--temperature", type=float, default=None,
                      help="override WB by color temperature (Kelvin)")
     dev.add_argument("--repair-hot-pixels", action="store_true")
+    dev.add_argument("--hdr", action="store_true",
+                     help="fuse ALL inputs as an exposure bracket into one HDR output")
+    dev.add_argument("--flat", help="flat-field raw (vignetting/dust correction)")
+    dev.add_argument("--dark", help="dark-frame raw (subtracted before develop)")
     dev.add_argument("--stats", action="store_true", help="print develop statistics")
 
     info = sub.add_parser("info", help="print raw metadata")
     info.add_argument("input")
     return p
+
+
+def _dst_for(args, src: str) -> str:
+    import os
+
+    if args.output is None:
+        return os.path.splitext(src)[0] + ".png"
+    if len(args.inputs) > 1 or os.path.isdir(args.output):
+        os.makedirs(args.output, exist_ok=True)
+        return os.path.join(
+            args.output, os.path.splitext(os.path.basename(src))[0] + ".png"
+        )
+    return args.output
 
 
 def _develop(args) -> int:
@@ -63,6 +80,38 @@ def _develop(args) -> int:
 
     import os
 
+    aux = {}
+    if args.flat or args.dark or args.hdr:
+        from .pipeline.pipeline import PipelineConfig, develop_pipeline
+
+        if args.flat:
+            aux["flat"] = load_raw(args.flat)
+        if args.dark:
+            aux["dark"] = load_raw(args.dark)
+        pcfg = PipelineConfig(
+            develop=cfg,
+            dark_frame=args.dark is not None,
+            flat_field=args.flat is not None,
+            repair_hot_pixels=args.repair_hot_pixels,
+            hot_pixel_shared_ratio=0.5 if (args.hdr and args.repair_hot_pixels) else None,
+            fuse_hdr=args.hdr,
+        )
+
+    if args.hdr:
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        frames = [load_raw(src) for src in args.inputs]
+        batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+        out_host = np.asarray(develop_pipeline(batch, pcfg, **aux))
+        dst = args.output or os.path.splitext(args.inputs[0])[0] + "_hdr.png"
+        save_image(dst, out_host)
+        mp = out_host.shape[0] * out_host.shape[1] / 1e6
+        dt = time.time() - t0
+        print(f"{len(args.inputs)} frames -> {dst}  ({mp:.1f} MP HDR, {dt*1e3:.0f} ms)")
+        return 0
+
     for src in args.inputs:
         t0 = time.time()
 
@@ -88,6 +137,15 @@ def _develop(args) -> int:
         else:
             frame = load_raw(src)
 
+        if args.flat or args.dark:
+            out_host = np.asarray(develop_pipeline(frame, pcfg, **aux))
+            dt = time.time() - t0
+            dst = _dst_for(args, src)
+            save_image(dst, out_host)
+            mp = out_host.shape[0] * out_host.shape[1] / 1e6
+            print(f"{src} -> {dst}  ({mp:.1f} MP, {dt*1e3:.0f} ms)")
+            continue
+
         if args.repair_hot_pixels:
             masks = find_erroneous_pixels_median(frame)
             frame = repair_bad_pixels(frame, masks)
@@ -104,17 +162,7 @@ def _develop(args) -> int:
 
         out_host = np.asarray(out)
         dt = time.time() - t0
-
-        if args.output is None:
-            dst = os.path.splitext(src)[0] + ".png"
-        elif len(args.inputs) > 1 or os.path.isdir(args.output):
-            os.makedirs(args.output, exist_ok=True)
-            dst = os.path.join(
-                args.output, os.path.splitext(os.path.basename(src))[0] + ".png"
-            )
-        else:
-            dst = args.output
-
+        dst = _dst_for(args, src)
         save_image(dst, out_host)
         mp = out_host.shape[0] * out_host.shape[1] / 1e6
         print(f"{src} -> {dst}  ({mp:.1f} MP, {dt*1e3:.0f} ms)")
