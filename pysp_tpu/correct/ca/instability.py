@@ -9,6 +9,7 @@ strided by 2 to stay on the phase's color sites — transcribed from instability
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...core.bayer import bayer_to_rgbg, rgbg_to_bayer
@@ -60,8 +61,12 @@ def _phase_instability(padded: Array, phase_xy, offsets, h2: int, w2: int) -> Ar
     return jnp.max(stacked, axis=0) - jnp.min(stacked, axis=0)
 
 
+@jax.jit
 def compute_structural_instability(frame: RawFrame) -> Array:
-    """(H, W, 3) instability map from the WB-applied mosaic (instability.py:7-60)."""
+    """(H, W, 3) instability map from the WB-applied mosaic (instability.py:7-60).
+
+    Jitted: the 12 phase stencils fuse into one program (un-jitted, the ~100 slice
+    dispatches dominated the whole CA fit at small sizes)."""
     wb = frame.wb_reciprocal()
     r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
     mosaic = rgbg_to_bayer(r * wb[0], g1 * wb[1], b * wb[2], g2 * wb[1])

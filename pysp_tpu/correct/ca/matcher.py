@@ -121,3 +121,101 @@ def template_match(
         last_center = np.copy(solver_center)
 
     return solver_center
+
+
+def _bilinear_patch_jnp(image, py, px, th: int, tw: int):
+    """Device twin of _bilinear_patch for ONE fractional corner (py, px)."""
+    import jax.numpy as jnp
+
+    h, w = image.shape
+    ys = py + jnp.arange(th, dtype=jnp.float32)[:, None]
+    xs = px + jnp.arange(tw, dtype=jnp.float32)[None, :]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    return (
+        (1 - fx) * (1 - fy) * image[y0c, x0c]
+        + fx * (1 - fy) * image[y0c, x1c]
+        + (1 - fx) * fy * image[y1c, x0c]
+        + fx * fy * image[y1c, x1c]
+    )
+
+
+def _one_tile_match(target, tile, tile_pos, tile_mask, vec, refine_steps: int):
+    import jax
+    import jax.numpy as jnp
+
+    th, tw = tile.shape
+
+    def tile_err(p):
+        patch = _bilinear_patch_jnp(target, p[0], p[1], th, tw)
+        return jnp.sum(jnp.abs(patch - tile))
+
+    errs = jax.vmap(tile_err)(tile_pos)
+    errs = jnp.where(tile_mask, errs, jnp.inf)
+    best_pos = tile_pos[jnp.argmin(errs)]
+
+    # interval-halving refinement (tiled_template_matcher.py:82-97), fixed-trip
+    s_start = best_pos - vec
+    s_end = best_pos + vec
+    s_center = (s_start + s_end) * 0.5
+
+    def body(_, carry):
+        s_start, s_end, s_center = carry
+        e_s = tile_err(s_start)
+        e_m = tile_err(s_center)
+        e_e = tile_err(s_end)
+        move_start = jnp.abs(e_m - e_s) > jnp.abs(e_m - e_e)
+        s_start = jnp.where(move_start, s_center, s_start)
+        s_end = jnp.where(move_start, s_end, s_center)
+        s_center = (s_start + s_end) * 0.5
+        return s_start, s_end, s_center
+
+    _, _, s_center = jax.lax.fori_loop(
+        0, refine_steps, body, (s_start, s_end, s_center)
+    )
+    return s_center
+
+
+def template_match_batch(target, tiles, pos, step_mask, vecs, refine_steps: int = 8):
+    """Device-side batched template matcher: all tiles' coarse scans and bisection
+    refinements in ONE jitted program (the reference loops tiles x steps in Python,
+    tiled_template_matcher.py:60-97; this is the vmapped fixed-shape reformulation
+    from SURVEY.md §7 hard part 3).
+
+    target (H, W); tiles (N, th, tw); pos (N, S, 2) coarse scan positions (padded);
+    step_mask (N, S) True for real steps; vecs (N, 2) quarter-pixel step vectors.
+    Returns (N, 2) refined positions. Positions are f32 (the host path is f64; the
+    ~1e-4 px difference is far below the fit's tile-to-tile spread).
+    """
+    import jax.numpy as jnp
+
+    return _template_match_batch_jit(
+        jnp.asarray(target, jnp.float32),
+        jnp.asarray(tiles, jnp.float32),
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(step_mask),
+        jnp.asarray(vecs, jnp.float32),
+        refine_steps,
+    )
+
+
+def _make_batch_jit():
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("refine_steps",))
+    def f(target, tiles, pos, step_mask, vecs, refine_steps):
+        return jax.vmap(
+            lambda t, p, m, v: _one_tile_match(target, t, p, m, v, refine_steps)
+        )(tiles, pos, step_mask, vecs)
+
+    return f
+
+
+_template_match_batch_jit = _make_batch_jit()

@@ -8,7 +8,7 @@ from typing import List
 
 import numpy as np
 
-from .matcher import template_match
+from .matcher import template_match, template_match_batch
 from .roi import PooledChannel, RoiDetector, TileResult
 
 
@@ -43,9 +43,15 @@ def get_radius_scale_factors_from_bins(
     reference_channel: np.ndarray,
     top_n: int = 16,
     max_reach: float = 0.004,
+    device: bool = True,
 ) -> np.ndarray:
     """(N, 2) array of normalized (r_distorted, r_undistorted) pairs
-    (radial_offset_solver.py:14-61)."""
+    (radial_offset_solver.py:14-61).
+
+    ``device=True`` runs every tile's template match in ONE jitted batch
+    (matcher.template_match_batch) instead of the reference's per-tile Python
+    loop; coarse-scan lengths are padded to a 64-step bucket so the compiled
+    program is reused across images."""
     if pool.source.shape != reference_channel.shape:
         raise ValueError(
             "Reference and pooled channel shapes are not identical. "
@@ -64,19 +70,48 @@ def get_radius_scale_factors_from_bins(
 
     source_blurred = _gaussian_blur3_sigma033(np.asarray(pool.source, np.float32))
 
-    radius_distorted = []
-    radius_undistorted = []
+    tw = pool.get_tile_width()
+    graphics, starts, ends, vecs, n_steps = [], [], [], [], []
     for tile in tiles:
-        tw = pool.get_tile_width()
-        tile_graphic = source_blurred[
+        graphics.append(source_blurred[
             tile.offset_real_tl[0] : tile.offset_real_tl[0] + tw,
             tile.offset_real_tl[1] : tile.offset_real_tl[1] + tw,
-        ]
+        ])
         start, end = get_start_end_points_from_centers(
             tile.offset_real_tl, tile.offset_average_n, idx_center, max_reach
         )
-        corrected = template_match(reference_channel, tile_graphic, start, end)
+        delta = end - start
+        mag = float(np.sqrt(np.sum(delta**2)))
+        starts.append(start)
+        ends.append(end)
+        vecs.append(delta / mag / 4.0 if mag > 0 else np.zeros(2))
+        n_steps.append(int(np.floor(mag * 4.0)))
 
+    if device and max(n_steps) > 0:
+        # coarse positions padded to a 64-step bucket (clamped to each tile's
+        # last real step so the pad gathers stay in-bounds)
+        S = -(-max(n_steps) // 64) * 64
+        pos = np.stack([
+            st[None, :] + np.minimum(np.arange(S), max(n - 1, 0))[:, None] * v[None, :]
+            for st, v, n in zip(starts, vecs, n_steps)
+        ]).astype(np.float64)
+        mask = np.arange(S)[None, :] < np.maximum(np.asarray(n_steps), 1)[:, None]
+        corrected_all = np.asarray(template_match_batch(
+            reference_channel, np.stack(graphics), pos, mask, np.stack(vecs)
+        ), np.float64)
+        # n_steps <= 0: the reference returns start unrefined
+        for i, n in enumerate(n_steps):
+            if n <= 0:
+                corrected_all[i] = starts[i]
+    else:
+        corrected_all = np.stack([
+            template_match(reference_channel, g, st, en) if n > 0 else st
+            for g, st, en, n in zip(graphics, starts, ends, n_steps)
+        ])
+
+    radius_distorted = []
+    radius_undistorted = []
+    for tile, corrected in zip(tiles, corrected_all):
         feature = tile.offset_real_tl + tile.offset_average_n
         feature_corrected = corrected + tile.offset_average_n
 

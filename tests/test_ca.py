@@ -287,3 +287,31 @@ def test_blind_fit_pipeline_recovers_distortion_sign():
     k1_fit = float(model_r.get_coefficients()[0])
     # blind fit from Bayer-domain instability: expect the right sign and order
     assert 0.002 < k1_fit < 0.08, k1_fit
+
+
+def test_scale_pairs_device_matches_host():
+    """Batched device template matching == per-tile host loop (within f32 eps)."""
+    from pysp_tpu.correct.ca.roi import PooledChannel, RoiDetector
+    from pysp_tpu.correct.ca.solver import get_radius_scale_factors_from_bins
+
+    import jax.numpy as jnp
+    from pysp_tpu.correct.ca.models import Poly3CorrectionModel
+    from pysp_tpu.ops.resample import remap_bilinear
+    from pysp_tpu.utils.testing import ring_chart
+
+    size = 384
+    img = ring_chart(size, size, radii=(70, 110, 150), amp=0.5, base=0.25).astype(np.float32)
+    model = Poly3CorrectionModel(0.03)
+    coords = np.asarray(model.get_undistorted_coordinates(jnp.zeros((size, size))))
+    mx = np.clip(coords[..., 1] + (size - 1) / 2, 0, size - 1).astype(np.float32)
+    my = np.clip(coords[..., 0] + (size - 1) / 2, 0, size - 1).astype(np.float32)
+    distorted = np.asarray(remap_bilinear(jnp.asarray(img), mx, my))
+
+    pool = PooledChannel(distorted)
+    detector = RoiDetector(pool, default_threshold=16)
+
+    dev = get_radius_scale_factors_from_bins(detector, pool, img, max_reach=0.05, device=True)
+    host = get_radius_scale_factors_from_bins(detector, pool, img, max_reach=0.05, device=False)
+    assert dev.shape == host.shape and len(dev) > 4
+    # f32 device positions vs f64 host positions: ~1e-4 px (documented in matcher)
+    np.testing.assert_allclose(dev, host, atol=2e-4)
