@@ -40,6 +40,7 @@ from .io.metadata import (
     compute_ev_from_tiff,
     get_image_area_from_tiff,
     get_opcode_3_block,
+    get_opcode_block,
 )
 from .correct.bad_pixels import (
     find_erroneous_pixels_median,
@@ -71,6 +72,14 @@ from .parallel.spatial import (
 )
 from .pipeline.develop import develop_with_stats
 from .warp.opcodes import apply_opcode_3_warp, encode_warp_rectilinear, stack_warp_prior
+from .warp.gain_opcodes import (
+    GainMap,
+    VignetteRadial,
+    apply_gain_opcodes,
+    encode_gain_map,
+    encode_opcode_list,
+    encode_vignette_radial,
+)
 from .warp.rectilinear import (
     compute_offset_remapping_table,
     compute_remapping_table,
@@ -124,6 +133,7 @@ __all__ = [
     "compute_ev_from_tiff",
     "get_image_area_from_tiff",
     "get_opcode_3_block",
+    "get_opcode_block",
     "find_erroneous_pixels_threshold",
     "find_erroneous_pixels_median",
     "find_shared_pixels",
@@ -139,6 +149,12 @@ __all__ = [
     "compute_ca_lens_models_for_raw",
     "remove_ca_from_raw",
     "apply_opcode_3_warp",
+    "apply_gain_opcodes",
+    "GainMap",
+    "VignetteRadial",
+    "encode_gain_map",
+    "encode_vignette_radial",
+    "encode_opcode_list",
     "encode_warp_rectilinear",
     "stack_warp_prior",
     "compute_remapping_table",

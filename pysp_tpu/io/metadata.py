@@ -128,8 +128,10 @@ def exif_get_as_shot_neutral(tf_or_ifd) -> np.ndarray:
     return np.array(vals[:3], np.float64)
 
 
-def get_opcode_3_block(source: Source) -> Optional[bytes]:
-    """OpcodeList3 data block from the raw IFD (chan_distortion_corr.py:123-146)."""
+def get_opcode_block(source: Source, which: int = 3) -> Optional[bytes]:
+    """OpcodeList{1,2,3} data block from the raw IFD (chan_distortion_corr.py:123-146;
+    lists 1/2 are additive — the reference reads only list 3)."""
+    tag = {1: T.TAG_OPCODE_LIST_1, 2: T.TAG_OPCODE_LIST_2, 3: T.TAG_OPCODE_LIST_3}[which]
     try:
         tf = T.read_tiff(source)
     except Exception:
@@ -137,7 +139,12 @@ def get_opcode_3_block(source: Source) -> Optional[bytes]:
     raw = tf.find_raw_ifd()
     if raw is None:
         return None
-    t = raw.get(T.TAG_OPCODE_LIST_3)
+    t = raw.get(tag)
     if t is None:
         return None
     return t.as_bytes()
+
+
+def get_opcode_3_block(source: Source) -> Optional[bytes]:
+    """OpcodeList3 data block from the raw IFD (chan_distortion_corr.py:123-146)."""
+    return get_opcode_block(source, 3)

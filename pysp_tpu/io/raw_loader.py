@@ -116,8 +116,12 @@ def _black_white_levels(raw_ifd: T.Ifd, n: int = 4) -> Tuple[np.ndarray, np.ndar
     return black[:n].astype(np.float64), white[:n].astype(np.float64)
 
 
-def load_raw_dng(source: Source) -> RawFrame:
-    """Load an uncompressed DNG through the built-in parser."""
+def load_raw_dng(source: Source, apply_gain_opcodes: bool = True) -> RawFrame:
+    """Load a DNG through the built-in parser.
+
+    ``apply_gain_opcodes`` applies OpcodeList2 GainMap / FixVignetteRadial operators
+    (DNG-embedded shading/vignette correction) to the normalized mosaic — additive
+    over the reference, which ignores gain opcodes entirely."""
     tf = T.read_tiff(source)
     raw_ifd = tf.find_raw_ifd()
     if raw_ifd is None:
@@ -134,6 +138,13 @@ def load_raw_dng(source: Source) -> RawFrame:
     data = tf.read_strips(raw_ifd)
     black, white = _black_white_levels(raw_ifd)
     sensor = _normalize_host(data, black, white)
+
+    if apply_gain_opcodes:
+        t2 = raw_ifd.get(T.TAG_OPCODE_LIST_2)
+        if t2 is not None:
+            from ..warp.gain_opcodes import apply_gain_opcodes as _apply_gains
+
+            sensor = np.asarray(_apply_gains(sensor, t2.as_bytes()), np.float32)
 
     active_area, crop = get_image_area_from_tiff(source)
     sensor = _apply_area_and_crop(sensor, active_area, crop)

@@ -82,9 +82,39 @@ TAG_AS_SHOT_NEUTRAL = 50728
 TAG_CALIBRATION_ILLUMINANT_1 = 50778
 TAG_CALIBRATION_ILLUMINANT_2 = 50779
 TAG_ACTIVE_AREA = 50829
+TAG_OPCODE_LIST_1 = 51008
+TAG_OPCODE_LIST_2 = 51009
 TAG_OPCODE_LIST_3 = 51022
 
 PHOTOMETRIC_CFA = 32803
+
+
+def _unpack_bits(raw: bytes, bits: int, count: int) -> "np.ndarray":
+    """Unpack ``count`` big-endian MSB-first ``bits``-wide samples to uint16."""
+    if bits == 12:
+        # fast path: 3 bytes -> 2 samples
+        b = np.frombuffer(raw, np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.uint16)
+        s0 = (b[:, 0] << 4) | (b[:, 1] >> 4)
+        s1 = ((b[:, 1] & 0xF) << 8) | b[:, 2]
+        out = np.stack([s0, s1], axis=1).reshape(-1)
+        return out[:count]
+    bits_arr = np.unpackbits(np.frombuffer(raw, np.uint8))
+    usable = (len(bits_arr) // bits) * bits
+    vals = bits_arr[:usable].reshape(-1, bits).astype(np.uint16)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+    return (vals * weights).sum(axis=1, dtype=np.uint16)[:count]
+
+
+def _pack_bits(vals: "np.ndarray", bits: int) -> bytes:
+    """Inverse of _unpack_bits: pack uint16 samples into a big-endian bitstream."""
+    vals = np.asarray(vals, np.uint16)
+    bit_rows = ((vals[:, None] >> np.arange(bits - 1, -1, -1)) & 1).astype(np.uint8)
+    flat = bit_rows.reshape(-1)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    return np.packbits(flat).tobytes()
 
 
 def _assemble_tiles(flat, height, width, tile_h, tile_w, n_tiles):
@@ -187,10 +217,23 @@ class TiffFile:
                 arr = np.frombuffer(raw, dtype=np.dtype(self.endian + "u2"))
             elif bits == 8:
                 arr = np.frombuffer(raw, dtype=np.uint8)
+            elif bits in (10, 12, 14):
+                # DNG packed CFA: big-endian bitstream, MSB first, each strip/tile
+                # byte-aligned. Unpack per piece so per-strip padding can't shear rows.
+                pieces = []
+                for o, c in zip(offsets, counts):
+                    n = (c * 8) // bits
+                    pieces.append(_unpack_bits(self.data[o : o + c], bits, n))
+                arr = np.concatenate(pieces)
             else:
                 raise ValueError(f"Unsupported bit depth {bits}")
             if not tiled:
-                return arr.reshape(height, width)
+                return arr[: height * width].reshape(height, width)
+            if bits in (10, 12, 14):
+                per_tile = tile_h * tile_w
+                arr = np.concatenate(
+                    [arr[i * per_tile : (i + 1) * per_tile] for i in range(len(offsets))]
+                )
             return _assemble_tiles(arr, height, width, tile_h, tile_w, len(offsets))
 
         if compression == 7:  # lossless JPEG (DNG)
@@ -422,7 +465,10 @@ def write_synthetic_dng(
     active_area: Optional[Tuple[int, int, int, int]] = None,
     crop_origin: Optional[Tuple[int, int]] = None,
     crop_size: Optional[Tuple[int, int]] = None,
+    opcode_list_1: Optional[bytes] = None,
+    opcode_list_2: Optional[bytes] = None,
     opcode_list_3: Optional[bytes] = None,
+    bits_per_sample: int = 16,
     exposure_time: Tuple[int, int] = (1, 100),
     f_number: Tuple[int, int] = (28, 10),
     iso: int = 200,
@@ -450,7 +496,7 @@ def write_synthetic_dng(
     sub: Dict[int, Tuple[int, Any]] = {
         TAG_IMAGE_WIDTH: (TYPE_LONG, [w]),
         TAG_IMAGE_LENGTH: (TYPE_LONG, [h]),
-        TAG_BITS_PER_SAMPLE: (TYPE_SHORT, [16]),
+        TAG_BITS_PER_SAMPLE: (TYPE_SHORT, [bits_per_sample]),
         TAG_COMPRESSION: (TYPE_SHORT, [compression]),
         TAG_PHOTOMETRIC: (TYPE_SHORT, [PHOTOMETRIC_CFA]),
         TAG_SAMPLES_PER_PIXEL: (TYPE_SHORT, [1]),
@@ -467,6 +513,10 @@ def write_synthetic_dng(
         sub[TAG_DEFAULT_CROP_ORIGIN] = (TYPE_LONG, list(crop_origin))
     if crop_size is not None:
         sub[TAG_DEFAULT_CROP_SIZE] = (TYPE_LONG, list(crop_size))
+    if opcode_list_1 is not None:
+        sub[TAG_OPCODE_LIST_1] = (TYPE_UNDEFINED, opcode_list_1)
+    if opcode_list_2 is not None:
+        sub[TAG_OPCODE_LIST_2] = (TYPE_UNDEFINED, opcode_list_2)
     if opcode_list_3 is not None:
         sub[TAG_OPCODE_LIST_3] = (TYPE_UNDEFINED, opcode_list_3)
 
@@ -495,6 +545,10 @@ def write_synthetic_dng(
         from . import native
 
         strip = native.ljpeg_encode(bayer_u16.astype(np.uint16), precision=16)
-    else:
+    elif bits_per_sample == 16:
         strip = np.ascontiguousarray(bayer_u16.astype("<u2")).tobytes()
+    elif bits_per_sample in (10, 12, 14):
+        strip = _pack_bits(bayer_u16.astype(np.uint16).reshape(-1), bits_per_sample)
+    else:
+        raise ValueError(f"Unsupported writer bit depth {bits_per_sample}")
     return TiffWriter().write(ifd0, sub, exif, strip_data=strip)

@@ -1,6 +1,7 @@
 """Warp stack: remap vs cv2, rectilinear tables vs reference transcription, opcodes."""
 import cv2
 import numpy as np
+import pytest
 
 from pysp_tpu.ops.resample import bilinear_sample, remap_bilinear, remap_lanczos4
 from pysp_tpu.warp.opcodes import (
@@ -157,3 +158,118 @@ def test_stack_warp_prior_identity_fill():
     assert len(pri) == 3
     np.testing.assert_allclose(np.asarray(pri[0][0])[0], np.arange(10))
     np.testing.assert_allclose(np.asarray(pri[1][1])[:, 0], np.arange(8))
+
+
+class TestGainOpcodes:
+    """OpcodeList1/2 gain operators (GainMap, FixVignetteRadial) — additive over
+    the reference (it reads only OpcodeList3)."""
+
+    def _gm(self, h, w, gains, top=0, left=0, pitch=(1, 1)):
+        from pysp_tpu.warp.gain_opcodes import GainMap
+
+        pv, ph = gains.shape
+        return GainMap(
+            top=top, left=left, bottom=h, right=w, plane=0, planes=1,
+            row_pitch=pitch[0], col_pitch=pitch[1],
+            points_v=pv, points_h=ph,
+            spacing_v=1.0 / max(pv - 1, 1), spacing_h=1.0 / max(ph - 1, 1),
+            origin_v=0.0, origin_h=0.0, map_planes=1,
+            gains=gains[..., None].astype(np.float32),
+        )
+
+    def test_gain_map_roundtrip_and_constant(self):
+        from pysp_tpu.warp.gain_opcodes import (
+            OPCODE_GAIN_MAP, apply_gain_opcodes, decode_gain_map,
+            encode_gain_map, encode_opcode_list,
+        )
+
+        gm = self._gm(16, 20, np.full((3, 4), 1.5, np.float32))
+        rt = decode_gain_map(encode_gain_map(gm))
+        assert rt._replace(gains=None) == gm._replace(gains=None)
+        np.testing.assert_array_equal(rt.gains, gm.gains)
+
+        block = encode_opcode_list([(OPCODE_GAIN_MAP, encode_gain_map(gm))])
+        x = np.ones((16, 20), np.float32)
+        out = np.asarray(apply_gain_opcodes(x, block))
+        np.testing.assert_allclose(out, 1.5, rtol=1e-6)
+
+    def test_gain_map_strided_plane(self):
+        """Per-CFA-plane map (pitch 2) touches only its phase."""
+        from pysp_tpu.warp.gain_opcodes import (
+            OPCODE_GAIN_MAP, apply_gain_opcodes, encode_gain_map, encode_opcode_list,
+        )
+
+        gm = self._gm(16, 20, np.full((2, 2), 2.0, np.float32), top=0, left=1,
+                      pitch=(2, 2))
+        block = encode_opcode_list([(OPCODE_GAIN_MAP, encode_gain_map(gm))])
+        x = np.ones((16, 20), np.float32)
+        out = np.asarray(apply_gain_opcodes(x, block))
+        np.testing.assert_allclose(out[0::2, 1::2], 2.0, rtol=1e-6)
+        np.testing.assert_allclose(out[0::2, 0::2], 1.0)
+        np.testing.assert_allclose(out[1::2, :], 1.0)
+
+    def test_gain_map_bilinear_gradient(self):
+        from pysp_tpu.warp.gain_opcodes import (
+            OPCODE_GAIN_MAP, apply_gain_opcodes, encode_gain_map, encode_opcode_list,
+        )
+
+        # horizontal gradient 1 -> 2 across the grid
+        gains = np.array([[1.0, 2.0], [1.0, 2.0]], np.float32)
+        gm = self._gm(8, 64, gains)
+        block = encode_opcode_list([(OPCODE_GAIN_MAP, encode_gain_map(gm))])
+        x = np.ones((8, 64), np.float32)
+        out = np.asarray(apply_gain_opcodes(x, block))
+        # col c samples grid at c/64 -> gain 1 + c/64
+        want = 1.0 + np.arange(64) / 64.0
+        np.testing.assert_allclose(out[3], want, rtol=1e-5)
+
+    def test_vignette_radial(self):
+        from pysp_tpu.warp.gain_opcodes import (
+            OPCODE_FIX_VIGNETTE_RADIAL, VignetteRadial, apply_gain_opcodes,
+            decode_vignette_radial, encode_vignette_radial, encode_opcode_list,
+        )
+
+        v = VignetteRadial((0.3, 0.0, 0.0, 0.0, 0.0), 0.5, 0.5)
+        assert decode_vignette_radial(encode_vignette_radial(v)) == v
+
+        block = encode_opcode_list([(OPCODE_FIX_VIGNETTE_RADIAL,
+                                     encode_vignette_radial(v))])
+        h, w = 17, 25
+        x = np.ones((h, w), np.float32)
+        out = np.asarray(apply_gain_opcodes(x, block))
+        # center gain == 1, corner gain == 1 + k0 (r=1 at the farthest corner)
+        np.testing.assert_allclose(out[8, 12], 1.0, atol=1e-6)
+        np.testing.assert_allclose(out[0, 0], 1.3, rtol=1e-6)
+        assert out[0, 0] == out[-1, -1] == out[0, -1] == out[-1, 0]
+
+    def test_loader_applies_opcode_list_2(self):
+        from pysp_tpu.io import tiff as T
+        from pysp_tpu.io.raw_loader import load_raw_dng
+        from pysp_tpu.warp.gain_opcodes import (
+            OPCODE_GAIN_MAP, encode_gain_map, encode_opcode_list,
+        )
+
+        h, w = 32, 40
+        counts = np.full((h, w), 2304, np.uint16)  # (2304-256)/(4095-256)
+        gm = self._gm(h, w, np.full((2, 2), 1.25, np.float32))
+        block = encode_opcode_list([(OPCODE_GAIN_MAP, encode_gain_map(gm))])
+        blob = T.write_synthetic_dng(counts, opcode_list_2=block)
+
+        frame = load_raw_dng(blob)
+        base = (2304 - 256) / 4095  # normalize divides by the white level
+        np.testing.assert_allclose(np.asarray(frame.bayer), base * 1.25, rtol=1e-5)
+
+        frame_raw = load_raw_dng(blob, apply_gain_opcodes=False)
+        np.testing.assert_allclose(np.asarray(frame_raw.bayer), base, rtol=1e-6)
+
+
+@pytest.mark.parametrize("bits", [10, 12, 14])
+def test_packed_cfa_roundtrip(bits):
+    """10/12/14-bit packed uncompressed CFA (additive: reference needs libraw)."""
+    from pysp_tpu.io import tiff as T
+
+    rng = np.random.default_rng(bits)
+    bayer = rng.integers(0, 1 << bits, (26, 38)).astype(np.uint16)
+    blob = T.write_synthetic_dng(bayer, bits_per_sample=bits, white_level=(1 << bits) - 1)
+    tf = T.read_tiff(blob)
+    np.testing.assert_array_equal(tf.read_strips(tf.find_raw_ifd()), bayer)
