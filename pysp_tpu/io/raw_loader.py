@@ -136,10 +136,23 @@ def load_raw_dng(source: Source, apply_gain_opcodes: bool = True) -> RawFrame:
     pattern = _decode_pattern(list(cfa.as_bytes() if isinstance(cfa.values, bytes) else cfa.as_ints())[:4])
 
     data = tf.read_strips(raw_ifd)
+    lin = raw_ifd.get(T.TAG_LINEARIZATION_TABLE)
+    if lin is not None:
+        # DNG LinearizationTable: LUT applied to stored values before black/white
+        # levels (additive: the reference relies on libraw for linearization)
+        table = np.asarray(lin.as_ints(), np.uint16)
+        data = table[np.minimum(data, len(table) - 1)]
     black, white = _black_white_levels(raw_ifd)
     sensor = _normalize_host(data, black, white)
 
     if apply_gain_opcodes:
+        t1 = raw_ifd.get(T.TAG_OPCODE_LIST_1)
+        if t1 is not None:
+            from ..warp.fix_opcodes import heal_bad_pixels_from_opcodes
+
+            sensor = np.asarray(
+                heal_bad_pixels_from_opcodes(sensor, data, t1.as_bytes()), np.float32
+            )
         t2 = raw_ifd.get(T.TAG_OPCODE_LIST_2)
         if t2 is not None:
             from ..warp.gain_opcodes import apply_gain_opcodes as _apply_gains

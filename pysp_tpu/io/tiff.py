@@ -71,6 +71,7 @@ TAG_F_NUMBER = 33437
 TAG_EXIF_IFD = 34665
 TAG_ISO_SPEED = 34855
 TAG_DNG_VERSION = 50706
+TAG_LINEARIZATION_TABLE = 50712
 TAG_BLACK_LEVEL_REPEAT_DIM = 50713
 TAG_BLACK_LEVEL = 50714
 TAG_WHITE_LEVEL = 50717
@@ -465,6 +466,7 @@ def write_synthetic_dng(
     active_area: Optional[Tuple[int, int, int, int]] = None,
     crop_origin: Optional[Tuple[int, int]] = None,
     crop_size: Optional[Tuple[int, int]] = None,
+    linearization_table: Optional[np.ndarray] = None,
     opcode_list_1: Optional[bytes] = None,
     opcode_list_2: Optional[bytes] = None,
     opcode_list_3: Optional[bytes] = None,
@@ -513,6 +515,10 @@ def write_synthetic_dng(
         sub[TAG_DEFAULT_CROP_ORIGIN] = (TYPE_LONG, list(crop_origin))
     if crop_size is not None:
         sub[TAG_DEFAULT_CROP_SIZE] = (TYPE_LONG, list(crop_size))
+    if linearization_table is not None:
+        sub[TAG_LINEARIZATION_TABLE] = (
+            TYPE_SHORT, [int(v) for v in np.asarray(linearization_table).ravel()]
+        )
     if opcode_list_1 is not None:
         sub[TAG_OPCODE_LIST_1] = (TYPE_UNDEFINED, opcode_list_1)
     if opcode_list_2 is not None:

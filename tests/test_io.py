@@ -337,3 +337,16 @@ def test_panasonic_iso_quirk():
     blob = T.TiffWriter().write(ifd0, None, exif)
     ev = compute_ev_from_tiff(blob)
     assert abs(ev - compute_ev(800, 1 / 50, 2.0)) < 1e-6
+
+
+def test_linearization_table_applied():
+    """DNG LinearizationTable LUT maps stored values before black/white levels."""
+    h, w = 16, 20
+    stored = np.full((h, w), 100, np.uint16)
+    table = np.zeros(256, np.uint16)
+    table[100] = 2304  # LUT: stored 100 -> linear 2304
+    blob = T.write_synthetic_dng(stored, linearization_table=table)
+    frame = load_raw_dng(blob)
+    np.testing.assert_allclose(
+        np.asarray(frame.bayer), (2304 - 256) / 4095, rtol=1e-6
+    )

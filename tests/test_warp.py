@@ -273,3 +273,50 @@ def test_packed_cfa_roundtrip(bits):
     blob = T.write_synthetic_dng(bayer, bits_per_sample=bits, white_level=(1 << bits) - 1)
     tf = T.read_tiff(blob)
     np.testing.assert_array_equal(tf.read_strips(tf.find_raw_ifd()), bayer)
+
+
+class TestFixBadPixelOpcodes:
+    def test_roundtrip(self):
+        from pysp_tpu.warp.fix_opcodes import (
+            BadPixelsConstant, BadPixelsList,
+            decode_fix_bad_pixels_constant, decode_fix_bad_pixels_list,
+            encode_fix_bad_pixels_constant, encode_fix_bad_pixels_list,
+        )
+
+        c = BadPixelsConstant(4095, 0)
+        assert decode_fix_bad_pixels_constant(encode_fix_bad_pixels_constant(c)) == c
+
+        l = BadPixelsList(0, np.array([[3, 5], [9, 11]], np.int32),
+                          np.array([[0, 0, 2, 2]], np.int32))
+        rt = decode_fix_bad_pixels_list(encode_fix_bad_pixels_list(l))
+        assert rt.bayer_phase == 0
+        np.testing.assert_array_equal(rt.points, l.points)
+        np.testing.assert_array_equal(rt.rects, l.rects)
+
+    def test_loader_heals_listed_pixels(self):
+        from pysp_tpu.io import tiff as T
+        from pysp_tpu.io.raw_loader import load_raw_dng
+        from pysp_tpu.warp.fix_opcodes import (
+            OPCODE_FIX_BAD_PIXELS_LIST, BadPixelsList, encode_fix_bad_pixels_list,
+        )
+        from pysp_tpu.warp.gain_opcodes import encode_opcode_list
+
+        h, w = 32, 40
+        counts = np.full((h, w), 2000, np.uint16)
+        counts[10, 14] = 4095  # defect photosite (phase (0,0))
+        op = BadPixelsList(0, np.array([[10, 14]], np.int32),
+                           np.zeros((0, 4), np.int32))
+        block = encode_opcode_list(
+            [(OPCODE_FIX_BAD_PIXELS_LIST, encode_fix_bad_pixels_list(op))]
+        )
+        blob = T.write_synthetic_dng(counts, opcode_list_1=block)
+
+        frame = load_raw_dng(blob)
+        base = (2000 - 256) / 4095
+        got = np.asarray(frame.bayer)
+        # healed from same-plane neighbors, which are all `base`
+        np.testing.assert_allclose(got[10, 14], base, rtol=1e-5)
+        np.testing.assert_allclose(got, base, rtol=1e-5)
+
+        leaked = np.asarray(load_raw_dng(blob, apply_gain_opcodes=False).bayer)
+        assert leaked[10, 14] > 2 * base
