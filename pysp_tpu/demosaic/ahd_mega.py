@@ -27,6 +27,47 @@ from .ahd_band import margin_for
 Array = jnp.ndarray
 
 
+_CHUNK_TARGET_W2 = 1024  # plane cols per kernel launch: small wp => tall VMEM tiles
+_CHUNK_OVERLAP = 8       # >= margin_for(stages<=2); discarded after compute
+
+
+def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool):
+    """Run the megakernel over vertical column chunks and reassemble.
+
+    VMEM limits band height as ~1/width: at 24 MP full-width bands are 24 rows
+    (67% halo-recompute overhead), while ~1024-col chunks run 80+ row bands
+    (<20% overhead) for ~1.6% column-overlap cost. Chunks overlap by
+    _CHUNK_OVERLAP plane cols; the contaminated overlap is discarded, so chunk
+    interiors equal the unchunked kernel's output exactly (same formulas on the
+    same real halo data).
+    """
+    from ..ops.pallas_kernels import ahd_mega_pallas
+
+    w2 = planes[0].shape[-1]
+    n_chunks = max(1, round(w2 / _CHUNK_TARGET_W2))
+    if n_chunks == 1:
+        return ahd_mega_pallas(
+            planes, mat, wb, is_hdr, postprocess_stages=stages, interpret=interpret
+        )
+
+    bounds = [round(i * w2 / n_chunks) for i in range(n_chunks + 1)]
+    pieces = None
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        lo = max(c0 - _CHUNK_OVERLAP, 0)
+        hi = min(c1 + _CHUNK_OVERLAP, w2)
+        sub = tuple(p[..., lo:hi] for p in planes)
+        out = ahd_mega_pallas(
+            sub, mat, wb, is_hdr, postprocess_stages=stages, interpret=interpret
+        )
+        if out is None:
+            return None
+        keep = [o[..., c0 - lo : c0 - lo + (c1 - c0)] for o in out]
+        pieces = keep if pieces is None else [
+            jnp.concatenate([a, b], axis=-1) for a, b in zip(pieces, keep)
+        ]
+    return pieces
+
+
 def demosaic_ahd_mega(
     frame: RawFrame, postprocess_stages: int = 1, interpret: bool = False
 ):
@@ -42,9 +83,9 @@ def demosaic_ahd_mega(
 
     r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
     mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
-    out = ahd_mega_pallas(
+    out = _mega_chunked(
         (r0, g1, g2, b0), mat, frame.wb_reciprocal(), frame.is_hdr,
-        postprocess_stages=postprocess_stages, interpret=interpret,
+        postprocess_stages, interpret,
     )
     if out is None:
         return demosaic_ahd_channels(frame, postprocess_stages, use_pallas=True)

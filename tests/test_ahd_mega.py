@@ -121,3 +121,31 @@ def test_demosaic_ahd_mega_small_image_fallback():
     got = demosaic_ahd_mega(frame, postprocess_stages=1, interpret=True)
     for g, w_ in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w_))
+
+
+def test_chunked_equals_unchunked():
+    """Column-chunked megakernel == single-launch kernel in the kept regions
+    (bit-exact in interpret mode: same formulas on the same real halo data)."""
+    from pysp_tpu.demosaic import ahd_mega as M
+
+    frame = make_frame(h=96, w=384)
+    r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
+    planes = (r0, g1, g2, b0)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    wb = frame.wb_reciprocal()
+
+    single = ahd_mega_pallas(planes, mat, wb, False, postprocess_stages=1,
+                             interpret=True)
+
+    old = M._CHUNK_TARGET_W2
+    M._CHUNK_TARGET_W2 = 64  # force 3 chunks at w2=192
+    try:
+        chunked = M._mega_chunked(planes, mat, wb, False, 1, True)
+    finally:
+        M._CHUNK_TARGET_W2 = old
+    assert chunked is not None
+
+    for k in range(12):
+        np.testing.assert_array_equal(
+            np.asarray(chunked[k]), np.asarray(single[k]), err_msg=f"plane {k}"
+        )
