@@ -600,7 +600,7 @@ def _ahd_mega_kernel(
     mat_ref, wb_ref,
     r_hbm, g1_hbm, g2_hbm, b_hbm,
     *refs,
-    tile_h: int, width: int, is_hdr: bool, stages: int,
+    tile_h: int, width: int, is_hdr: bool, stages: int, algo: str = "ahd",
 ):
     """Whole-AHD megakernel: one DMA of the 4 CFA phase planes per band, every
     demosaic stage (directional interp, reconstruction, CIELAB homogeneity,
@@ -608,7 +608,7 @@ def _ahd_mega_kernel(
     valid-mode band core (demosaic/ahd_band.py), 12 output planes written once.
     HBM traffic: 1 read + 3 writes per pixel — vs ~1 round-trip per stage for XLA.
     """
-    from ..demosaic.ahd_band import ahd_band_quads
+    from ..demosaic.ahd_band import ahd_band_quads, eag_band_quads
 
     outs = refs[:12]
     scratch, sems = refs[12], refs[13]
@@ -646,9 +646,12 @@ def _ahd_mega_kernel(
     planes = tuple(scratch[slot, k] for k in range(4))
     wb = (wb_ref[0, 0], wb_ref[0, 1], wb_ref[0, 2])
 
-    out_r, out_g, out_b = ahd_band_quads(
-        planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
-    )
+    if algo == "eag":
+        out_r, out_g, out_b = eag_band_quads(planes, wb)
+    else:
+        out_r, out_g, out_b = ahd_band_quads(
+            planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
+        )
 
     k = 0
     for quad in (out_r, out_g, out_b):
@@ -663,6 +666,7 @@ def _ahd_mega_kernel(
 def ahd_mega_pallas(
     planes, color_mat: Array, wb: Array, is_hdr: bool,
     postprocess_stages: int = 1, tile_h: int = 0, interpret: bool = False,
+    algo: str = "ahd",
 ):
     """Run the AHD megakernel over CFA phase planes (r, g1, g2, b), each (H/2, W/2).
 
@@ -681,8 +685,10 @@ def ahd_mega_pallas(
     if tile_h == 0:
         # Peak live set measured from Mosaic's scoped-vmem report: candidate quads +
         # LAB + median wires + double-buffered outputs ~ 120 band-sized planes
-        # (tile 184 at wp 1152 exceeded the 100MB budget; tile 88 fits).
-        budget_rows = (_VMEM_LIMIT // 2) // max(128 * wp * 4, 1)
+        # (tile 184 at wp 1152 exceeded the 100MB budget; tile 88 fits). EAG's
+        # live set is ~4x smaller (no candidates/LAB/medians).
+        live = 32 if algo == "eag" else 128
+        budget_rows = (_VMEM_LIMIT // 2) // max(live * wp * 4, 1)
         tile_h = min(256, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
     if tile_h % 8 or tile_h < 8:
         return None
@@ -699,7 +705,7 @@ def ahd_mega_pallas(
 
     kernel = partial(
         _ahd_mega_kernel, tile_h=tile_h, width=w2,
-        is_hdr=is_hdr, stages=postprocess_stages,
+        is_hdr=is_hdr, stages=postprocess_stages, algo=algo,
     )
     shape = jax.ShapeDtypeStruct((h2p, w2), jnp.float32)
     outs = pl.pallas_call(
