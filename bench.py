@@ -69,6 +69,51 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # BASELINE config 3: Best + hot-pixel healing + flat-field, one jit
+    from pysp_tpu import PipelineConfig, develop_pipeline
+
+    flat = jax.device_put(
+        RawFrame.synthetic(
+            np.clip(1.0 - 0.3 * rng.random((H, W)), 0.1, 1).astype(np.float32)
+        )
+    )
+    cfg3 = PipelineConfig(
+        develop=DevelopConfig(quality=QualityDemosaic.Best, postprocess_stages=1),
+        flat_field=True,
+        repair_hot_pixels=True,
+    )
+    dt3 = timed_loop(
+        lambda f: develop_pipeline(f, cfg3, flat=flat), frame, iters=4
+    )
+    print(
+        f"[bench] config3 (Best+heal+flat, 24MP): {dt3*1e3:.1f} ms = "
+        f"{MP/dt3:.1f} MP/s",
+        file=sys.stderr,
+    )
+
+    # BASELINE config 4: 5-frame Bayer-space HDR stack -> AHD -> sRGB, one jit
+    hdr5 = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[
+                RawFrame.synthetic(
+                    rng.random((H, W), np.float32), ev=10.0 + i
+                )
+                for i in range(5)
+            ],
+        )
+    )
+    cfg4 = PipelineConfig(
+        develop=DevelopConfig(quality=QualityDemosaic.Best, postprocess_stages=1),
+        fuse_hdr=True,
+    )
+    dt4 = timed_loop(lambda fs: develop_pipeline(fs, cfg4), hdr5, iters=4)
+    print(
+        f"[bench] config4 (5x24MP HDR stack -> AHD -> sRGB): {dt4*1e3:.1f} ms "
+        f"(fuse amortized over 5 frames: {5*MP/dt4:.1f} input-MP/s)",
+        file=sys.stderr,
+    )
+
     # BASELINE config 5 flavor: vmapped burst of small frames
     burst_n, bh, bw = 16, 1000, 1504
     burst = jax.device_put(

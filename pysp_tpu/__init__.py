@@ -34,6 +34,7 @@ from .colorimetry.wb import CameraWhiteBalanceController, controller_from_tags
 from .demosaic import demosaic, demosaic_ahd, demosaic_draft, demosaic_eag
 from .pipeline.develop import DevelopConfig, develop, develop_burst, develop_to_image
 from .pipeline.pipeline import PipelineConfig, develop_pipeline
+from .pipeline.stream import develop_files, develop_stream
 from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
 from .io.metadata import (
     compute_ev,
@@ -106,6 +107,8 @@ __all__ = [
     "PipelineConfig",
     "develop",
     "develop_pipeline",
+    "develop_files",
+    "develop_stream",
     "develop_burst",
     "develop_to_image",
     "demosaic",

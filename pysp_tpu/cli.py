@@ -112,6 +112,23 @@ def _develop(args) -> int:
         print(f"{len(args.inputs)} frames -> {dst}  ({mp:.1f} MP HDR, {dt*1e3:.0f} ms)")
         return 0
 
+    plain = not (args.flat or args.dark or args.temperature is not None
+                 or args.repair_hot_pixels or args.stats)
+    if plain and len(args.inputs) > 1:
+        # pipelined decode -> develop -> save (stream driver)
+        import os
+
+        from .pipeline.stream import develop_files
+
+        out_dir = args.output or os.path.dirname(args.inputs[0]) or "."
+        t0 = time.time()
+        written = develop_files(args.inputs, out_dir, cfg)
+        dt = time.time() - t0
+        for src, dst in zip(args.inputs, written):
+            print(f"{src} -> {dst}")
+        print(f"{len(written)} files in {dt*1e3:.0f} ms (streamed)")
+        return 0
+
     for src in args.inputs:
         t0 = time.time()
 
