@@ -57,11 +57,37 @@ def find_erroneous_pixels_median(
     noise_floor = jnp.mean(delta, axis=(-2, -1), keepdims=True)
     delta = jnp.abs(delta - noise_floor)
 
-    strong = (
-        jnp.quantile(delta.reshape(4, -1), quantile, axis=-1).reshape(4, 1, 1)
-        * multiplier
-    )
+    strong = _bisect_quantile(delta, quantile).reshape(4, 1, 1) * multiplier
     return delta > strong
+
+
+def _bisect_quantile(delta, q: float, iters: int = 30):
+    """Per-plane upper-order-statistic quantile via count bisection.
+
+    jnp.quantile sorts (~160 ms for 24 MP on TPU v5e); thresholding only needs the
+    value, so 30 fused compare-count passes (~3 ms) bisect to it instead. Differs
+    from numpy's linearly-interpolated quantile by at most the gap between two
+    adjacent order statistics — harmless under the detector's x1.5 multiplier
+    (DIVERGENCES.md)."""
+    import jax
+
+    n = delta.shape[-2] * delta.shape[-1]
+    target = q * (n - 1)
+    lo = jnp.min(delta, axis=(-2, -1))
+    hi = jnp.max(delta, axis=(-2, -1))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        # rank of mid: count of samples <= mid, per plane
+        cnt = jnp.sum(
+            (delta <= mid[:, None, None]).astype(jnp.float32), axis=(-2, -1)
+        )
+        keep_hi = (cnt - 1.0) >= target
+        return jnp.where(keep_hi, lo, mid), jnp.where(keep_hi, mid, hi)
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
 
 
 def find_shared_pixels(
