@@ -31,7 +31,7 @@ import numpy as np
 from ..colorimetry.transforms import rgb_to_lab_channels
 from ..ops.phase_kernels import BayerPatternPosition, get_rgbg_kernel
 from ..ops.polyphase import Quad
-from ..ops.stencil import GAUSSIAN3_SIGMA1, _median_of
+from ..ops.stencil import GAUSSIAN3_SIGMA1
 from .ahd import _H
 
 Array = jnp.ndarray
@@ -109,15 +109,38 @@ def _phase_upsample_quad(plane: Array, position: BayerPatternPosition) -> Quad:
 
 
 def _median5_quad(quad: Quad) -> Quad:
+    """Full-res 5x5 median in phase space via shared sorted columns.
+
+    For output phase (py, px) at plane (i, j) the window spans full-res columns
+    2j+px-2 .. 2j+px+2; each full-res column-of-5 sorts once per (row-parity,
+    col-parity) and is shared by every window crossing it, adjacent sorted-column
+    pairs merge into 10-sorted fields shared by both px outputs, and the final
+    rank-12-of-25 uses the two-sorted-list selection identity (see
+    ops.stencil.median5_from_padded). ~230 min/max ops per quad vs 808 for four
+    direct pruned networks; medians are selections, so values are bit-identical.
+    Roll-contamination depth is unchanged: 1 plane row/col per side.
+    """
+    from ..ops.stencil import median25_select, merge_sorted, sort5, _Q_RANKS
+
     out = [[None, None], [None, None]]
     for py in (0, 1):
-        for px in (0, 1):
-            views = [
-                _qshift(quad, py, px, dy, dx)
-                for dy in range(-2, 3)
-                for dx in range(-2, 3)
-            ]
-            out[py][px] = _median_of(views)
+        # sorted column fields: s[cx][k](i,j) = k-th smallest of full-res column
+        # 2j+cx, rows 2i+py-2 .. 2i+py+2
+        s = {
+            cx: sort5([_qshift(quad, py, cx, dy, 0) for dy in (-2, -1, 0, 1, 2)])
+            for cx in (0, 1)
+        }
+        # pairs(j): sorted 10 of full-res columns {2j, 2j+1}
+        pairs = merge_sorted(s[0], s[1])
+        pairs_m1 = [_shift(p, 0, -1) for p in pairs]  # columns {2j-2, 2j-1}
+        # q(j): sorted 20 of columns 2j-2 .. 2j+1, ranks 7..12 only
+        q = merge_sorted(pairs_m1, pairs, ranks=_Q_RANKS)
+
+        # px=0 window: columns 2j-2..2j+2 = q(j) + column 2j+2 (= s[0] at j+1)
+        out[py][0] = median25_select(q, [_shift(v, 0, 1) for v in s[0]])
+        # px=1 window: columns 2j-1..2j+3 = q(j+1) + column 2j-1 (= s[1] at j-1)
+        q_p1 = {r: _shift(v, 0, 1) for r, v in q.items()}
+        out[py][1] = median25_select(q_p1, [_shift(v, 0, -1) for v in s[1]])
     return ((out[0][0], out[0][1]), (out[1][0], out[1][1]))
 
 
@@ -171,9 +194,17 @@ def _homogeneity_quad(
                 (ca - n2[1]) ** 2 + (cb - n2[2]) ** 2,
             )
 
-            count = jnp.zeros_like(cl)
+            # Center and the two eps-defining neighbors pass their own bounds
+            # identically in f32 (see demosaic/homogeneity.py) — constant 3.
+            free = (
+                {(0, 0), (-1, 0), (1, 0)} if is_vertical
+                else {(0, 0), (0, -1), (0, 1)}
+            )
+            count = jnp.full_like(cl, 3.0)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
+                    if (dy, dx) in free:
+                        continue
                     wl = win(lum_q, dy, dx)
                     wa = win(a_q, dy, dx)
                     wb2 = win(b_q, dy, dx)

@@ -96,9 +96,17 @@ def _homogeneity_quad(
                 (ca - n2[1]) ** 2 + (cb - n2[2]) ** 2,
             )
 
-            count = jnp.zeros_like(cl)
+            # Center and the two eps-defining neighbors pass their own bounds
+            # identically in f32 (see demosaic/homogeneity.py) — constant 3.
+            free = (
+                {(0, 0), (-1, 0), (1, 0)} if is_vertical
+                else {(0, 0), (0, -1), (0, 1)}
+            )
+            count = jnp.full_like(cl, 3.0)
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
+                    if (dy, dx) in free:
+                        continue
                     wl = win(lum_q, dy, dx)
                     wa = win(a_q, dy, dx)
                     wb2 = win(b_q, dy, dx)

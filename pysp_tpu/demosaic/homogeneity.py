@@ -48,9 +48,17 @@ def homogeneity_map_channels(
         (a - n2[1]) ** 2 + (b - n2[2]) ** 2,
     )
 
-    count = jnp.zeros_like(lum)
+    # Three window terms are identically true and skip their checks: the center
+    # (deltas are 0 <= eps) and the two directional neighbors that DEFINE eps
+    # (n1 - lum <= |lum - n1| <= eps_l holds exactly in f32 — a-b is the exact
+    # negation of b-a — and the chroma squares are the eps terms themselves).
+    # Bit-identical to checking all 9, one third fewer VPU ops.
+    free = {(0, 0), (-1, 0), (1, 0)} if is_vertical else {(0, 0), (0, -1), (0, 1)}
+    count = jnp.full_like(lum, 3.0)
     for dy in range(-k_pad, k_pad + 1):
         for dx in range(-k_pad, k_pad + 1):
+            if (dy, dx) in free:
+                continue
             wl = window(lum_p, dy, dx)
             wa = window(a_p, dy, dx)
             wb = window(b_p, dy, dx)

@@ -24,7 +24,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import _median_network, median5 as median5_xla
+from .stencil import (
+    _Q_RANKS,
+    median25_select,
+    median5 as median5_xla,
+    merge_sorted,
+    sort5,
+)
 
 Array = jnp.ndarray
 
@@ -78,13 +84,7 @@ def _median5_kernel(x_hbm, out_ref, scratch, sems, *, tile_h: int, width: int):
     band(i, i % 2).wait()
     cur = scratch.at[i % 2]
 
-    base = _ALIGN - 2  # stencil reach 2 inside the alignment pad
-    views = []
-    for dy in range(5):
-        for dx in range(5):
-            views.append(cur[base + dy : base + dy + tile_h, dx : dx + width])
-
-    out_ref[:] = _median_net(views)
+    out_ref[:] = _median5_field(cur[...], _ALIGN, tile_h, 2, width)
 
 
 def median5_pallas(x: Array, tile_h: int = 0) -> Array:
@@ -172,9 +172,14 @@ def _homogeneity_kernel(
         (aa - n2[1]) ** 2 + (bb - n2[2]) ** 2,
     )
 
-    count = jnp.zeros((th, w), jnp.float32)
+    # Center + eps-defining neighbors are identically in-bounds (see
+    # demosaic/homogeneity.py) — constant 3, checks skipped.
+    free = {(0, 0), (-1, 0), (1, 0)} if is_vertical else {(0, 0), (0, -1), (0, 1)}
+    count = jnp.full((th, w), 3.0, jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
+            if (dy, dx) in free:
+                continue
             wl = win(l_cur, dy, dx)
             wa = win(a_cur, dy, dx)
             wb = win(b_cur, dy, dx)
@@ -226,30 +231,20 @@ def homogeneity_map_pallas(lab: Array, is_vertical: bool, tile_h: int = 0) -> Ar
     )(*planes)
 
 
-def _median_views(buf, row0: int, n_rows: int, width: int):
-    """25 window views of ``buf`` for output rows [row0, row0+n_rows)."""
-    return [
-        buf[row0 - 2 + dy : row0 - 2 + dy + n_rows, dx : dx + width]
-        for dy in range(5)
-        for dx in range(5)
-    ]
-
-
-def _median_net(views):
-    ops, target, p = _median_network(25)
-    wires = list(views) + [None] * (p - 25)
-    for kind, a, b in ops:
-        if kind == "cmp":
-            lo = jnp.minimum(wires[a], wires[b])
-            hi = jnp.maximum(wires[a], wires[b])
-            wires[a], wires[b] = lo, hi
-        elif kind == "min":
-            wires[a] = jnp.minimum(wires[a], wires[b])
-        elif kind == "max":
-            wires[b] = jnp.maximum(wires[a], wires[b])
-        else:
-            wires[a] = wires[b]
-    return wires[target]
+def _median5_field(buf, row0: int, n_rows: int, col0: int, width: int):
+    """5x5 median of ``buf`` (a value array) for output centers at rows
+    [row0, row0+n_rows) x cols [col0, col0+width); needs a 2-px halo around that
+    region. Shared-column scheme (ops.stencil.median5_from_padded): 86 min/max ops
+    per pixel vs 202 for the direct pruned network, bit-identical values."""
+    s = sort5([buf[row0 - 2 + dy : row0 - 2 + dy + n_rows, :] for dy in range(5)])
+    pairs = merge_sorted([v[:, :-1] for v in s], [v[:, 1:] for v in s])
+    q = merge_sorted(
+        [p[:, col0 - 2 : col0 - 2 + width] for p in pairs],
+        [p[:, col0 : col0 + width] for p in pairs],
+        ranks=_Q_RANKS,
+    )
+    side = [v[:, col0 + 2 : col0 + 2 + width] for v in s]
+    return median25_select(q, side)
 
 
 def _postprocess_kernel(r_hbm, g_hbm, b_hbm, ro, go, bo, r_s, g_s, b_s, sems, *,
@@ -300,8 +295,8 @@ def _postprocess_kernel(r_hbm, g_hbm, b_hbm, ro, go, bo, r_s, g_s, b_s, sems, *,
     bg = b - g
 
     g_ext = g[6 : 6 + ext_rows, 2 : 2 + ext_w]
-    r_prime_ext = _median_net(_median_views(rg, 8 - 2, ext_rows, ext_w)) + g_ext
-    b_prime_ext = _median_net(_median_views(bg, 8 - 2, ext_rows, ext_w)) + g_ext
+    r_prime_ext = _median5_field(rg, 6, ext_rows, 2, ext_w) + g_ext
+    b_prime_ext = _median5_field(bg, 6, ext_rows, 2, ext_w) + g_ext
 
     # XLA/reference semantics pad (g - r') by replication at the global image
     # border; inside the halo we recomputed r' from replicated inputs instead,
@@ -326,16 +321,9 @@ def _postprocess_kernel(r_hbm, g_hbm, b_hbm, ro, go, bo, r_s, g_s, b_s, sems, *,
     gr = fix_halo(g_ext - r_prime_ext)
     gb = fix_halo(g_ext - b_prime_ext)
 
-    # center windows into the extended buffers: output row t = ext row t+2
-    def cviews(buf):
-        return [
-            buf[dy : dy + tile_h, dx : dx + w]
-            for dy in range(5)
-            for dx in range(5)
-        ]
-
-    med_gr = _median_net(cviews(gr))
-    med_gb = _median_net(cviews(gb))
+    # output centers sit at ext rows/cols [2, 2+tile_h) x [2, 2+w)
+    med_gr = _median5_field(gr, 2, tile_h, 2, w)
+    med_gb = _median5_field(gb, 2, tile_h, 2, w)
 
     r_c = r_prime_ext[2 : 2 + tile_h, 2 : 2 + w]
     b_c = b_prime_ext[2 : 2 + tile_h, 2 : 2 + w]
@@ -500,9 +488,17 @@ def _ahd_decision_kernel(
             (ca - n2[1]) ** 2 + (cb - n2[2]) ** 2,
         )
 
-        count = jnp.zeros((mh, mw), jnp.float32)
+        # Center + eps-defining neighbors are identically in-bounds (see
+        # demosaic/homogeneity.py) — constant 3, checks skipped.
+        free = (
+            {(0, 0), (-1, 0), (1, 0)} if is_vertical
+            else {(0, 0), (0, -1), (0, 1)}
+        )
+        count = jnp.full((mh, mw), 3.0, jnp.float32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
+                if (dy, dx) in free:
+                    continue
                 wl = win(lum, dy, dx)
                 wa = win(aa, dy, dx)
                 wb2 = win(bb, dy, dx)

@@ -250,11 +250,139 @@ def _window_views(x: Array, k: int, pad_fn) -> list:
     ]
 
 
+# --- Shared-column 5x5 median -------------------------------------------------
+#
+# A direct pruned network needs 202 min/max ops per 25-element median. The sliding
+# window shares structure: sort each 5-column once (the sorted-column field is reused
+# by the 5 windows it intersects), merge adjacent sorted-column pairs (10-sorted,
+# reused by 3 windows), merge pairs-of-pairs (20-sorted, pruned to ranks 7..12), and
+# finish with the classical two-sorted-list selection identity
+#
+#     rank_k(A ∪ B) = max_i( min(A[i], B[k-i]) )  (+ edge terms)
+#
+# which for k=12, |A|=20, |B|=5 is max(A7, min(A8,B4), ..., min(A12,B0)) — 10 ops.
+# Amortized cost: 18 (column sort) + 22 (pair merge) + 36 (pruned 20-merge) + 10
+# = 86 min/max ops per pixel, 2.35x fewer. Medians are selections (no arithmetic),
+# so any correct network returns bit-identical values.
+
+_SORT5_CE = ((0, 1), (3, 4), (2, 4), (2, 3), (0, 3), (0, 2), (1, 4), (1, 3), (1, 2))
+
+
+def sort5(vals: list) -> list:
+    """Elementwise 5-way sort of equal-shape arrays (optimal 9-comparator network)."""
+    vals = list(vals)
+    assert len(vals) == 5
+    for i, j in _SORT5_CE:
+        lo = jnp.minimum(vals[i], vals[j])
+        hi = jnp.maximum(vals[i], vals[j])
+        vals[i], vals[j] = lo, hi
+    return vals
+
+
+def _oddeven_merge_wires(a: tuple, b: tuple, out: list) -> tuple:
+    """Batcher odd-even merge of sorted wire runs (arbitrary lengths); appends
+    compare-exchange pairs to ``out`` and returns wires in sorted order."""
+    if not a:
+        return b
+    if not b:
+        return a
+    if len(a) == 1 and len(b) == 1:
+        out.append((a[0], b[0]))
+        return (a[0], b[0])
+    e = _oddeven_merge_wires(a[0::2], b[0::2], out)
+    o = _oddeven_merge_wires(a[1::2], b[1::2], out)
+    res = [e[0]]
+    oi, ei = 0, 1
+    while oi < len(o) and ei < len(e):
+        out.append((o[oi], e[ei]))
+        res.append(o[oi])
+        res.append(e[ei])
+        oi += 1
+        ei += 1
+    res.extend(o[oi:])
+    res.extend(e[ei:])
+    return tuple(res)
+
+
+@lru_cache(maxsize=None)
+def _merge_net(m: int, n: int, ranks: frozenset | None = None):
+    """Typed-op merge network for sorted runs [0..m) + [m..m+n), backward-pruned to
+    the given output ranks (all ranks if None). Returns (ops, order)."""
+    ce: list = []
+    order = _oddeven_merge_wires(tuple(range(m)), tuple(range(m, m + n)), ce)
+    if ranks is None:
+        return tuple(("cmp", i, j) for i, j in ce), order
+    needed = {order[r] for r in ranks}
+    kept = []
+    for (i, j) in reversed(ce):
+        nm, nM = i in needed, j in needed
+        if not (nm or nM):
+            continue
+        kept.append(("cmp" if (nm and nM) else ("min" if nm else "max"), i, j))
+        needed.add(i)
+        needed.add(j)
+    kept.reverse()
+    return tuple(kept), order
+
+
+def merge_sorted(a: list, b: list, ranks=None):
+    """Elementwise merge of two sorted lists of arrays. Returns the m+n sorted
+    fields, or a {rank: field} dict restricted to ``ranks`` (cheaper: the network
+    is backward-pruned to those outputs)."""
+    rk = frozenset(ranks) if ranks is not None else None
+    ops, order = _merge_net(len(a), len(b), rk)
+    wires = list(a) + list(b)
+    for kind, i, j in ops:
+        if kind == "cmp":
+            lo = jnp.minimum(wires[i], wires[j])
+            hi = jnp.maximum(wires[i], wires[j])
+            wires[i], wires[j] = lo, hi
+        elif kind == "min":
+            wires[i] = jnp.minimum(wires[i], wires[j])
+        else:
+            wires[j] = jnp.maximum(wires[i], wires[j])
+    if rk is None:
+        return [wires[w] for w in order]
+    return {r: wires[order[r]] for r in rk}
+
+
+_Q_RANKS = frozenset(range(7, 13))  # sorted-20 ranks that can reach overall rank 12
+
+
+def median25_select(q: dict, side: list) -> Array:
+    """Overall median (rank 12 of 25) from a sorted-20 dict (ranks 7..12) and one
+    sorted column of 5, via the two-sorted-list selection identity."""
+    t = q[7]
+    for k in range(5):
+        t = jnp.maximum(t, jnp.minimum(q[8 + k], side[4 - k]))
+    return t
+
+
+def median5_from_padded(xp: Array, h: int, w: int) -> Array:
+    """5x5 median field for output rows/cols [0,h)x[0,w) of ``xp``, which must carry
+    a 2-pixel halo on every side (shape >= (h+4, w+4); extra right/bottom ignored).
+
+    Shared-column scheme; bit-identical to the direct pruned-network median."""
+    s_cols = sort5([xp[..., dy : dy + h, : w + 4] for dy in range(5)])
+    pairs = merge_sorted(
+        [s[..., :, : w + 3] for s in s_cols], [s[..., :, 1 : w + 4] for s in s_cols]
+    )
+    q = merge_sorted(
+        [p[..., :, :w] for p in pairs],
+        [p[..., :, 2 : 2 + w] for p in pairs],
+        ranks=_Q_RANKS,
+    )
+    side = [s[..., :, 4 : 4 + w] for s in s_cols]
+    return median25_select(q, side)
+
+
 def median5(x: Array) -> Array:
     """cv2.medianBlur(src, 5) equivalent for float32 (replicate border).
 
-    Exact 25-element median via a pruned Batcher network (fusable min/max ops)."""
-    return _median_of(_window_views(x, 5, pad_replicate))
+    Exact 25-element median via shared sorted columns + pruned merges (86 min/max
+    ops per pixel vs 202 for the direct pruned network; identical values)."""
+    h, w = x.shape[-2], x.shape[-1]
+    return median5_from_padded(pad_replicate(x, 2), h, w)
 
 
 def median3(x: Array) -> Array:
