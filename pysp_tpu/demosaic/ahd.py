@@ -23,7 +23,7 @@ from ..colorimetry.transforms import (
 from ..core.bayer import bayer_to_rgbg, rgbg_to_bayer
 from ..core.frame import DevelopedImage, RawFrame
 from ..ops.phase_kernels import BayerPatternPosition
-from ..ops.stencil import box_blur3, gaussian_blur3, median5, pad_reflect
+from ..ops.stencil import box_sum3, gaussian_blur3, median5, pad_reflect
 from .eag import resample_channel
 from .homogeneity import homogeneity_map_channels
 
@@ -170,8 +170,11 @@ def demosaic_ahd_channels(
     # ahd_decision_pallas — but measured only ~2ms faster than this XLA chain at
     # 24MP while flipping ~9% of exact-tie picks through Mosaic's different
     # transcendentals, so the XLA chain stays the default path.)
-    map_h = box_blur3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
-    map_v = box_blur3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
+    # Unnormalized sums, not cv2.blur's x(1/9): the counts are integers, so the
+    # sums compare exactly (ops.stencil.box_sum3) — decisions are deterministic
+    # across compilations; the 1/9 was monotone and changed nothing else.
+    map_h = box_sum3(_build_homogeneity_map(r_h, g_h, b_h, frame, False, use_pallas))
+    map_v = box_sum3(_build_homogeneity_map(r_v, g_v, b_v, frame, True, use_pallas))
     pick = (map_h < map_v).astype(jnp.float32)
     inv = 1.0 - pick
     out_r = r_h * pick + r_v * inv

@@ -36,7 +36,9 @@ from .ahd import _H
 
 Array = jnp.ndarray
 
-_BOX3 = np.full((3, 3), 1.0 / 9.0, np.float32)
+# Decision filter: unnormalized box SUM (see ops.stencil.box_sum3 — exact
+# integer compare, the 1/9 was monotone)
+_BOX3 = np.ones((3, 3), np.float32)
 
 
 def margin_for(postprocess_stages: int) -> int:
@@ -80,7 +82,9 @@ def _conv3x3_quad(quad: Quad, kernel: np.ndarray) -> Quad:
                     c = float(k[dy + 1, dx + 1])
                     if c == 0.0:
                         continue
-                    term = _qshift(quad, py, px, dy, dx) * jnp.float32(c)
+                    term = _qshift(quad, py, px, dy, dx)
+                    if c != 1.0:
+                        term = term * jnp.float32(c)
                     acc = term if acc is None else acc + term
             out[py][px] = acc
     return ((out[0][0], out[0][1]), (out[1][0], out[1][1]))
@@ -298,6 +302,45 @@ def ahd_band_quads(
         out_r, out_b = new_r, new_b
 
     return out_r, out_g, out_b
+
+
+def color_tail_quads(
+    r_q: Quad, g_q: Quad, b_q: Quad, mat, clip_highlights: bool,
+    gamma_encode: bool, pow_fn=jnp.power,
+) -> Tuple[Quad, Quad, Quad]:
+    """Develop's color tail (clip -> cam->lin-sRGB matrix -> sRGB gamma) applied
+    per phase plane — same formulas and op order as pipeline.develop's channelwise
+    tail, so fusing it into the megernel changes values only through ``pow_fn``
+    (Mosaic uses exp(log·p), ~2 ulp vs jnp.power; pure value noise, no decisions
+    downstream)."""
+
+    def gamma(x):
+        x = jnp.clip(x, 0.0, 1.0)
+        return jnp.where(
+            x <= 0.0031308,
+            x * 12.92,
+            1.055 * pow_fn(jnp.maximum(x, 1e-12), jnp.float32(1.0 / 2.4)) - 0.055,
+        )
+
+    out = [[None, None], [None, None]], [[None, None], [None, None]], [[None, None], [None, None]]
+    for py in (0, 1):
+        for px in (0, 1):
+            r, g, b = r_q[py][px], g_q[py][px], b_q[py][px]
+            if clip_highlights:
+                r = jnp.clip(r, 0.0, 1.0)
+                g = jnp.clip(g, 0.0, 1.0)
+                b = jnp.clip(b, 0.0, 1.0)
+            ir = mat[0, 0] * r + mat[0, 1] * g + mat[0, 2] * b
+            ig = mat[1, 0] * r + mat[1, 1] * g + mat[1, 2] * b
+            ib = mat[2, 0] * r + mat[2, 1] * g + mat[2, 2] * b
+            if gamma_encode:
+                ir, ig, ib = gamma(ir), gamma(ig), gamma(ib)
+            out[0][py][px] = ir
+            out[1][py][px] = ig
+            out[2][py][px] = ib
+    return tuple(
+        ((c[0][0], c[0][1]), (c[1][0], c[1][1])) for c in out
+    )
 
 
 def _delta_mix(top: Array, bottom: Array, left: Array, right: Array) -> Array:

@@ -32,7 +32,7 @@ _CHUNK_OVERLAP = 8       # >= margin_for(stages<=2); discarded after compute
 
 
 def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
-                  algo: str = "ahd"):
+                  algo: str = "ahd", tail: tuple | None = None):
     """Run the megakernel over vertical column chunks and reassemble.
 
     VMEM limits band height as ~1/width: at 24 MP full-width bands are 24 rows
@@ -49,7 +49,7 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
     if n_chunks == 1:
         return ahd_mega_pallas(
             planes, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo,
+            interpret=interpret, algo=algo, tail=tail,
         )
 
     bounds = [round(i * w2 / n_chunks) for i in range(n_chunks + 1)]
@@ -60,7 +60,7 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
         sub = tuple(p[..., lo:hi] for p in planes)
         out = ahd_mega_pallas(
             sub, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo,
+            interpret=interpret, algo=algo, tail=tail,
         )
         if out is None:
             return None
@@ -101,6 +101,58 @@ def demosaic_ahd_mega(
     def crop(rows, cols):
         sub = frame.replace(bayer=frame.bayer[rows, cols])
         return demosaic_ahd_channels(sub, postprocess_stages)
+
+    top = crop(slice(0, s), slice(None))
+    bot = crop(slice(h - s, h), slice(None))
+    left = crop(slice(None), slice(0, s))
+    right = crop(slice(None), slice(w - s, w))
+
+    stitched = []
+    for c, t, bo, le, ri in zip(chans, top, bot, left, right):
+        c = jnp.concatenate([t[:f, :], c[f : h - f, :], bo[s - f :, :]], axis=0)
+        c = jnp.concatenate([le[:, :f], c[:, f : w - f], ri[:, s - f :]], axis=1)
+        stitched.append(c)
+    return stitched[0], stitched[1], stitched[2]
+
+
+def develop_channels_mega(
+    frame: RawFrame, postprocess_stages: int, clip_highlights: bool,
+    gamma_encode: bool, interpret: bool = False,
+):
+    """Full Best develop (demosaic + clip + cam->lin-sRGB + gamma) with the color
+    tail fused INTO the megakernel — the 12 phase planes leave the kernel already
+    sRGB-encoded, saving the separate full-resolution tail passes.
+
+    Border strips run the exact XLA path (demosaic + identical channelwise tail).
+    Returns stitched (r, g, b) sRGB channels, or None when the megakernel can't
+    run (caller falls back to the unfused path). Tail values differ from the XLA
+    path only by Mosaic's exp(log·p) pow (~2 ulp; no decisions downstream)."""
+    from ..pipeline.develop import _color_tail_channels
+
+    h, w = frame.bayer.shape[-2], frame.bayer.shape[-1]
+    f = 2 * margin_for(postprocess_stages)
+    s = 2 * f + 8
+    if frame.bayer.ndim != 2 or h < 4 * s or w < 4 * s:
+        return None
+
+    r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    out = _mega_chunked(
+        (r0, g1, g2, b0), mat, frame.wb_reciprocal(), frame.is_hdr,
+        postprocess_stages, interpret, tail=(clip_highlights, gamma_encode),
+    )
+    if out is None:
+        return None
+
+    chans = [
+        quad_to_bayer(((out[k], out[k + 1]), (out[k + 2], out[k + 3])))
+        for k in (0, 4, 8)
+    ]
+
+    def crop(rows, cols):
+        sub = frame.replace(bayer=frame.bayer[rows, cols])
+        rr, gg, bb = demosaic_ahd_channels(sub, postprocess_stages)
+        return _color_tail_channels(rr, gg, bb, mat, clip_highlights, gamma_encode)
 
     top = crop(slice(0, s), slice(None))
     bot = crop(slice(h - s, h), slice(None))

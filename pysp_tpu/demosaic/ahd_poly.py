@@ -26,7 +26,9 @@ from .ahd import _H
 
 Array = jnp.ndarray
 
-_BOX3 = np.full((3, 3), 1.0 / 9.0, np.float32)
+# Decision filter: unnormalized box SUM (see ops.stencil.box_sum3 — exact
+# integer compare, the 1/9 was monotone)
+_BOX3 = np.ones((3, 3), np.float32)
 
 
 def _qmap(fn, *quads: Quad) -> Quad:

@@ -463,8 +463,6 @@ def _ahd_decision_kernel(
             lum, aa, bb = rgb_to_lab_channels(ir, ig, ib, cbrt_fn=_cbrt)
         return lum, aa, bb
 
-    k9 = jnp.float32(np.float32(1.0 / 9.0))
-
     def homog_blurred(kr, kg, kb, is_vertical):
         lum, aa, bb = direction_map(kr, kg, kb)
 
@@ -521,15 +519,13 @@ def _ahd_decision_kernel(
             (i == n - 1) & (ri >= mh - 1), count[mh - 3 : mh - 2, :], count
         )
 
-        # VALID 3x3 box blur (same per-term multiply form as ops.stencil._conv_valid).
-        # NOTE: ~1.4% of picks land on exact homogeneity ties, where the last-ulp
-        # summation order decides; XLA's 9-term reduction order is opaque, so those
-        # tie pixels may flip vs the XLA path (both choices equally valid — same
-        # divergence class as exact-LAB vs cv2's LUT LAB; see DIVERGENCES.md).
+        # VALID 3x3 box SUM (ops.stencil.box_sum3 semantics): integer counts sum
+        # exactly in f32, so the H<V decision is rounding-free and identical
+        # across compilations.
         out = None
         for dy in range(3):
             for dx in range(3):
-                term = count[dy : dy + t, dx : dx + w] * k9
+                term = count[dy : dy + t, dx : dx + w]
                 out = term if out is None else out + term
         return out
 
@@ -597,6 +593,7 @@ def _ahd_mega_kernel(
     r_hbm, g1_hbm, g2_hbm, b_hbm,
     *refs,
     tile_h: int, width: int, is_hdr: bool, stages: int, algo: str = "ahd",
+    tail: tuple | None = None,
 ):
     """Whole-AHD megakernel: one DMA of the 4 CFA phase planes per band, every
     demosaic stage (directional interp, reconstruction, CIELAB homogeneity,
@@ -649,6 +646,19 @@ def _ahd_mega_kernel(
             planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
         )
 
+    if tail is not None:
+        from ..demosaic.ahd_band import color_tail_quads
+
+        def _powf(x, p):
+            # Mosaic has no pow primitive; x is pre-clamped >= 1e-12
+            return jnp.exp(jnp.log(x) * p)
+
+        clip_highlights, gamma_encode = tail
+        out_r, out_g, out_b = color_tail_quads(
+            out_r, out_g, out_b, mat_ref, clip_highlights, gamma_encode,
+            pow_fn=_powf,
+        )
+
     k = 0
     for quad in (out_r, out_g, out_b):
         for py in (0, 1):
@@ -662,7 +672,7 @@ def _ahd_mega_kernel(
 def ahd_mega_pallas(
     planes, color_mat: Array, wb: Array, is_hdr: bool,
     postprocess_stages: int = 1, tile_h: int = 0, interpret: bool = False,
-    algo: str = "ahd",
+    algo: str = "ahd", tail: tuple | None = None,
 ):
     """Run the AHD megakernel over CFA phase planes (r, g1, g2, b), each (H/2, W/2).
 
@@ -679,11 +689,12 @@ def ahd_mega_pallas(
         return None
     wp = _round_up(w2 + 2 * _ALIGN, _LANE)
     if tile_h == 0:
-        # Peak live set measured from Mosaic's scoped-vmem report: candidate quads +
-        # LAB + median wires + double-buffered outputs ~ 120 band-sized planes
-        # (tile 184 at wp 1152 exceeded the 100MB budget; tile 88 fits). EAG's
-        # live set is ~4x smaller (no candidates/LAB/medians).
-        live = 32 if algo == "eag" else 128
+        # Effective live-set divisor tuned empirically (benchmarks/sweep_mega_tile.py
+        # at wp 1152, 24 MP, shared-column medians): tile 88 -> 2134 MP/s, 112 ->
+        # 2277, 136 -> 2043 (VMEM pressure inverts the halo savings past ~112).
+        # live=96 lands on 112 at wp 1152 and scales ~1/wp for other chunk widths.
+        # EAG's live set is ~4x smaller (no candidates/LAB/medians).
+        live = 32 if algo == "eag" else 96
         budget_rows = (_VMEM_LIMIT // 2) // max(live * wp * 4, 1)
         tile_h = min(256, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
     if tile_h % 8 or tile_h < 8:
@@ -701,7 +712,7 @@ def ahd_mega_pallas(
 
     kernel = partial(
         _ahd_mega_kernel, tile_h=tile_h, width=w2,
-        is_hdr=is_hdr, stages=postprocess_stages, algo=algo,
+        is_hdr=is_hdr, stages=postprocess_stages, algo=algo, tail=tail,
     )
     shape = jax.ShapeDtypeStruct((h2p, w2), jnp.float32)
     outs = pl.pallas_call(

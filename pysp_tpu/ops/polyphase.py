@@ -144,7 +144,9 @@ def conv3x3_poly(quad: Quad, kernel: np.ndarray, border: str = "reflect101") -> 
                     c = float(k[dy + 1, dx + 1])
                     if c == 0.0:
                         continue
-                    term = shift_fullres(quad, py, px, dy, dx, border) * jnp.float32(c)
+                    term = shift_fullres(quad, py, px, dy, dx, border)
+                    if c != 1.0:
+                        term = term * jnp.float32(c)
                     acc = term if acc is None else acc + term
             out[py][px] = acc
     return ((out[0][0], out[0][1]), (out[1][0], out[1][1]))

@@ -74,7 +74,9 @@ def _conv_valid(x: Array, kernel: Array) -> Array:
             coeff = float(k_host[dy, dx])
             if coeff == 0.0:
                 continue
-            term = x[..., dy : dy + h, dx : dx + w] * jnp.asarray(coeff, x.dtype)
+            term = x[..., dy : dy + h, dx : dx + w]
+            if coeff != 1.0:
+                term = term * jnp.asarray(coeff, x.dtype)
             out = term if out is None else out + term
     if out is None:
         return jnp.zeros(x.shape[:-2] + (h, w), x.dtype)
@@ -104,6 +106,16 @@ def filter2d_hwc(x: Array, kernel: Array, border: str = "reflect101") -> Array:
 def box_blur3(x: Array) -> Array:
     """cv2.blur(src, (3,3)) equivalent (normalized box, reflect101 border)."""
     return filter2d(x, np.full((3, 3), 1.0 / 9.0, np.float32))
+
+
+def box_sum3(x: Array) -> Array:
+    """Unnormalized 3x3 box sum (reflect101 border) — box_blur3 without the 1/9.
+
+    For the AHD H/V decision the blurred integer homogeneity counts are only
+    compared, and the normalization is monotone: comparing raw sums (exact
+    integers in f32, <= 81) gives a decision with NO rounding at all, removing
+    the last-ulp tie-flip divergence class between compilations entirely."""
+    return filter2d(x, np.ones((3, 3), np.float32))
 
 
 # cv2.getGaussianKernel(3, 1.0): exp(-x^2/2) at {-1,0,1}, normalized.

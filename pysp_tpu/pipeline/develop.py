@@ -76,29 +76,21 @@ def _demosaic_channels(frame: RawFrame, cfg: DevelopConfig):
     raise NotImplementedError(f"Quality mode not implemented: {cfg.quality}")
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
-    """Full develop: demosaic -> camera->lin-sRGB -> (optional) gamma encode.
-
-    Channelwise end-to-end with ONE channel stack at the very end — (H, W, 3)
-    stacking mid-pipeline costs relayout passes on TPU (see README design notes).
-    Matches the stacked API path (demosaic().to_lin_srgb() + gamma) op for op.
-    """
-    from ..colorimetry.transforms import cam_to_lin_srgb_matrix
-
-    r, g, b = _demosaic_channels(frame, cfg)
-
-    # cam_to_rgb_norm semantics channelwise (transform.py:21-53)
-    if cfg.clip_highlights:
+def _color_tail_channels(
+    r: Array, g: Array, b: Array, mat: Array,
+    clip_highlights: bool, gamma_encode: bool,
+):
+    """Channelwise color tail: clip -> cam->lin-sRGB matrix -> sRGB gamma
+    (cam_to_rgb_norm semantics, transform.py:21-53 + gamma :89-111)."""
+    if clip_highlights:
         r = jnp.clip(r, 0.0, 1.0)
         g = jnp.clip(g, 0.0, 1.0)
         b = jnp.clip(b, 0.0, 1.0)
-    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
     ir = mat[0, 0] * r + mat[0, 1] * g + mat[0, 2] * b
     ig = mat[1, 0] * r + mat[1, 1] * g + mat[1, 2] * b
     ib = mat[2, 0] * r + mat[2, 1] * g + mat[2, 2] * b
 
-    if cfg.gamma_encode:
+    if gamma_encode:
         def gamma(x):
             x = jnp.clip(x, 0.0, 1.0)
             return jnp.where(
@@ -108,6 +100,42 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
             )
 
         ir, ig, ib = gamma(ir), gamma(ig), gamma(ib)
+    return ir, ig, ib
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
+    """Full develop: demosaic -> camera->lin-sRGB -> (optional) gamma encode.
+
+    Channelwise end-to-end with ONE channel stack at the very end — (H, W, 3)
+    stacking mid-pipeline costs relayout passes on TPU (see README design notes).
+    Matches the stacked API path (demosaic().to_lin_srgb() + gamma) op for op.
+    On TPU the Best path fuses the tail INTO the megakernel (the 12 phase planes
+    leave the kernel sRGB-encoded; ~2-ulp pow divergence, see ahd_mega).
+    """
+    from ..colorimetry.transforms import cam_to_lin_srgb_matrix
+
+    srgb = None
+    if (
+        cfg.quality == QualityDemosaic.Best
+        and cfg.use_pallas
+        and jax.default_backend() == "tpu"
+        and frame.bayer.ndim == 2
+    ):
+        from ..demosaic.ahd_mega import develop_channels_mega
+
+        srgb = develop_channels_mega(
+            frame, cfg.postprocess_stages, cfg.clip_highlights, cfg.gamma_encode
+        )
+
+    if srgb is None:
+        r, g, b = _demosaic_channels(frame, cfg)
+        mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+        ir, ig, ib = _color_tail_channels(
+            r, g, b, mat, cfg.clip_highlights, cfg.gamma_encode
+        )
+    else:
+        ir, ig, ib = srgb
 
     out = jnp.stack([ir, ig, ib], axis=-1).astype(jnp.float32)
     if frame.source_pattern != BayerPattern.Rggb:

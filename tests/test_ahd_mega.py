@@ -200,3 +200,37 @@ def test_demosaic_eag_mega_stitch():
         np.testing.assert_allclose(
             g[f:-f, f:-f], w_[f:-f, f:-f], atol=2e-5, rtol=0, err_msg=name
         )
+
+
+def test_develop_channels_mega_fused_tail():
+    """The in-kernel color tail (clip + matrix + gamma) matches the external
+    channelwise tail applied to the same kernel's demosaic output to pow-noise
+    (same kernel, same decisions — only the tail arithmetic differs)."""
+    from pysp_tpu.demosaic.ahd_mega import develop_channels_mega
+    from pysp_tpu.pipeline.develop import _color_tail_channels
+
+    frame = make_frame(160, 192)
+    r, g, b = demosaic_ahd_mega(frame, postprocess_stages=1, interpret=True)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    ref = jnp.stack(_color_tail_channels(r, g, b, mat, True, True), axis=-1)
+
+    out = develop_channels_mega(frame, 1, True, True, interpret=True)
+    assert out is not None
+    got = jnp.stack(out, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6, rtol=0)
+
+
+def test_develop_channels_mega_no_gamma_no_clip():
+    """Tail flags propagate: linear (gamma off) fused output matches the XLA tail."""
+    from pysp_tpu.demosaic.ahd_mega import develop_channels_mega
+    from pysp_tpu.pipeline.develop import _color_tail_channels
+
+    frame = make_frame(160, 192, seed=5)
+    r, g, b = demosaic_ahd_mega(frame, postprocess_stages=1, interpret=True)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    ref = jnp.stack(
+        _color_tail_channels(r, g, b, mat, False, False), axis=-1
+    )
+    out = develop_channels_mega(frame, 1, False, False, interpret=True)
+    got = jnp.stack(out, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6, rtol=0)
