@@ -18,9 +18,15 @@ from pysp_tpu.ops.pallas_kernels import ahd_mega_pallas
 
 
 def main() -> None:
-    tiles = [int(t) for t in sys.argv[1:]] or [88, 112, 136, 160, 184, 208, 232]
+    args = [int(t) for t in sys.argv[1:]]
+    if len(args) >= 2 and args[0] < 0:
+        # negative first arg: -h2 w2 tiles...
+        h2, w2 = -args[0], args[1]
+        tiles = args[2:]
+    else:
+        h2, w2 = 2000, 1016  # one column chunk of a 4000x6000 mosaic (wp -> 1152)
+        tiles = args or [88, 112, 136, 160, 184, 208, 232]
     rng = np.random.default_rng(0)
-    h2, w2 = 2000, 1016  # one column chunk of a 4000x6000 mosaic (wp -> 1152)
     planes = tuple(
         jax.device_put(jnp.asarray(rng.random((h2, w2), np.float32)))
         for _ in range(4)

