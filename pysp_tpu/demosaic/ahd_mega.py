@@ -29,6 +29,45 @@ Array = jnp.ndarray
 
 _CHUNK_TARGET_W2 = 1024  # plane cols per kernel launch: small wp => tall VMEM tiles
 _CHUNK_OVERLAP = 8       # >= margin_for(stages<=2); discarded after compute
+# Row-chunk target: 0 disables row chunking. Measured (BASELINE.md ledger): short
+# launches whose bands form a ~3-step grid ran up to ~2x faster per pixel at burst
+# shapes; set to ~512 to split tall planes into grid-3 pieces if that regime
+# verifies at 24MP scale.
+_CHUNK_TARGET_H2 = 0
+
+
+def _row_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
+                 algo: str, tail, target_h2: int):
+    """Split plane rows into overlapping pieces and stitch (row twin of
+    _mega_chunked's column logic); tile height per piece targets a 3-step grid."""
+    from ..ops.pallas_kernels import ahd_mega_pallas
+
+    h2 = planes[0].shape[-2]
+    n_chunks = max(1, round(h2 / target_h2))
+    if n_chunks == 1:
+        return ahd_mega_pallas(
+            planes, mat, wb, is_hdr, postprocess_stages=stages,
+            interpret=interpret, algo=algo, tail=tail,
+        )
+    bounds = [round(i * h2 / n_chunks) for i in range(n_chunks + 1)]
+    pieces = None
+    for r0, r1 in zip(bounds[:-1], bounds[1:]):
+        lo = max(r0 - _CHUNK_OVERLAP, 0)
+        hi = min(r1 + _CHUNK_OVERLAP, h2)
+        sub = tuple(p[..., lo:hi, :] for p in planes)
+        tile = -(-(hi - lo) // 3)
+        tile = tile + (-tile) % 8  # next multiple of 8 -> 3 bands per piece
+        out = ahd_mega_pallas(
+            sub, mat, wb, is_hdr, postprocess_stages=stages,
+            tile_h=tile, interpret=interpret, algo=algo, tail=tail,
+        )
+        if out is None:
+            return None
+        keep = [o[..., r0 - lo : r0 - lo + (r1 - r0), :] for o in out]
+        pieces = keep if pieces is None else [
+            jnp.concatenate([a, b], axis=-2) for a, b in zip(pieces, keep)
+        ]
+    return pieces
 
 
 def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
@@ -44,13 +83,21 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
     """
     from ..ops.pallas_kernels import ahd_mega_pallas
 
+    def launch(sub):
+        if _CHUNK_TARGET_H2:
+            return _row_chunked(
+                sub, mat, wb, is_hdr, stages, interpret, algo, tail,
+                _CHUNK_TARGET_H2,
+            )
+        return ahd_mega_pallas(
+            sub, mat, wb, is_hdr, postprocess_stages=stages,
+            interpret=interpret, algo=algo, tail=tail,
+        )
+
     w2 = planes[0].shape[-1]
     n_chunks = max(1, round(w2 / _CHUNK_TARGET_W2))
     if n_chunks == 1:
-        return ahd_mega_pallas(
-            planes, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo, tail=tail,
-        )
+        return launch(planes)
 
     bounds = [round(i * w2 / n_chunks) for i in range(n_chunks + 1)]
     pieces = None
@@ -58,10 +105,7 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
         lo = max(c0 - _CHUNK_OVERLAP, 0)
         hi = min(c1 + _CHUNK_OVERLAP, w2)
         sub = tuple(p[..., lo:hi] for p in planes)
-        out = ahd_mega_pallas(
-            sub, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo, tail=tail,
-        )
+        out = launch(sub)
         if out is None:
             return None
         keep = [o[..., c0 - lo : c0 - lo + (c1 - c0)] for o in out]

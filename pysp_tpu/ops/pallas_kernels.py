@@ -690,15 +690,21 @@ def ahd_mega_pallas(
     wp = _round_up(w2 + 2 * _ALIGN, _LANE)
     if tile_h == 0:
         # Effective live-set divisor tuned empirically (benchmarks/sweep_mega_tile.py
-        # at wp 1152, 24 MP, shared-column medians): tile 88 -> 2134 MP/s, 112 ->
-        # 2277, 136 -> 2043 (VMEM pressure inverts the halo savings past ~112).
-        # live=96 lands on 112 at wp 1152; the cap stays at 112 for narrower
-        # chunks too — burst frames (wp 896) regressed 2x when the budget let
-        # them run 144-row bands. EAG's live set is ~4x smaller.
+        # + sweep_shapes.py with RTT-proof iteration counts): at wp 1152 tile 112
+        # is the VMEM sweet spot (488 ps/px; 136+ regress); at wp<=896 tile 168
+        # is ~13% better than 112 (432 vs 500 ps/px) and 144 hits a VMEM cliff,
+        # so narrow launches cap at 168. EAG's live set is ~4x smaller.
         live = 32 if algo == "eag" else 96
         budget_rows = (_VMEM_LIMIT // 2) // max(live * wp * 4, 1)
-        cap = 256 if algo == "eag" else 112
+        if algo == "eag":
+            cap = 256
+        elif budget_rows >= 168 and wp <= 896:
+            cap = 168  # never the 144 VMEM cliff: jump 112 -> 168 only when it fits
+        else:
+            cap = 112
         tile_h = min(cap, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
+        if algo != "eag" and 112 < tile_h < 168:
+            tile_h = 112
     if tile_h % 8 or tile_h < 8:
         return None
 

@@ -234,3 +234,23 @@ def test_develop_channels_mega_no_gamma_no_clip():
     out = develop_channels_mega(frame, 1, False, False, interpret=True)
     got = jnp.stack(out, axis=-1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6, rtol=0)
+
+
+def test_row_chunked_equals_unchunked():
+    """Row-chunked megakernel dispatch (ahd_mega._row_chunked) is bit-exact:
+    overlapping row pieces discard their contaminated margins, so piece interiors
+    see the same real halo data as the unchunked kernel."""
+    import importlib
+
+    M = importlib.import_module("pysp_tpu.demosaic.ahd_mega")
+
+    frame = make_frame(320, 256, seed=13)
+    ref = demosaic_ahd_mega(frame, postprocess_stages=1, interpret=True)
+    old = M._CHUNK_TARGET_H2
+    M._CHUNK_TARGET_H2 = 64
+    try:
+        got = demosaic_ahd_mega(frame, postprocess_stages=1, interpret=True)
+    finally:
+        M._CHUNK_TARGET_H2 = old
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
