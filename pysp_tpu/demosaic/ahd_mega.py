@@ -37,7 +37,7 @@ _CHUNK_TARGET_H2 = 0
 
 
 def _row_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
-                 algo: str, tail, target_h2: int):
+                 tail, target_h2: int):
     """Split plane rows into overlapping pieces and stitch (row twin of
     _mega_chunked's column logic); tile height per piece targets a 3-step grid."""
     from ..ops.pallas_kernels import ahd_mega_pallas
@@ -47,7 +47,7 @@ def _row_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
     if n_chunks == 1:
         return ahd_mega_pallas(
             planes, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo, tail=tail,
+            interpret=interpret, tail=tail,
         )
     bounds = [round(i * h2 / n_chunks) for i in range(n_chunks + 1)]
     pieces = None
@@ -59,7 +59,7 @@ def _row_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
         tile = tile + (-tile) % 8  # next multiple of 8 -> 3 bands per piece
         out = ahd_mega_pallas(
             sub, mat, wb, is_hdr, postprocess_stages=stages,
-            tile_h=tile, interpret=interpret, algo=algo, tail=tail,
+            tile_h=tile, interpret=interpret, tail=tail,
         )
         if out is None:
             return None
@@ -71,7 +71,7 @@ def _row_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
 
 
 def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
-                  algo: str = "ahd", tail: tuple | None = None):
+                  tail: tuple | None = None):
     """Run the megakernel over vertical column chunks and reassemble.
 
     VMEM limits band height as ~1/width: at 24 MP full-width bands are 24 rows
@@ -86,12 +86,12 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
     def launch(sub):
         if _CHUNK_TARGET_H2:
             return _row_chunked(
-                sub, mat, wb, is_hdr, stages, interpret, algo, tail,
+                sub, mat, wb, is_hdr, stages, interpret, tail,
                 _CHUNK_TARGET_H2,
             )
         return ahd_mega_pallas(
             sub, mat, wb, is_hdr, postprocess_stages=stages,
-            interpret=interpret, algo=algo, tail=tail,
+            interpret=interpret, tail=tail,
         )
 
     w2 = planes[0].shape[-1]
@@ -197,54 +197,6 @@ def develop_channels_mega(
         sub = frame.replace(bayer=frame.bayer[rows, cols])
         rr, gg, bb = demosaic_ahd_channels(sub, postprocess_stages)
         return _color_tail_channels(rr, gg, bb, mat, clip_highlights, gamma_encode)
-
-    top = crop(slice(0, s), slice(None))
-    bot = crop(slice(h - s, h), slice(None))
-    left = crop(slice(None), slice(0, s))
-    right = crop(slice(None), slice(w - s, w))
-
-    stitched = []
-    for c, t, bo, le, ri in zip(chans, top, bot, left, right):
-        c = jnp.concatenate([t[:f, :], c[f : h - f, :], bo[s - f :, :]], axis=0)
-        c = jnp.concatenate([le[:, :f], c[:, f : w - f], ri[:, s - f :]], axis=1)
-        stitched.append(c)
-    return stitched[0], stitched[1], stitched[2]
-
-
-def demosaic_eag_mega(frame: RawFrame, interpret: bool = False):
-    """EAG ("Fast") demosaic via the banded megakernel + XLA border strips.
-
-    Same stitch scheme as demosaic_ahd_mega with the EAG band core
-    (ahd_band.eag_band_quads): border-rule reach is 2 plane rows (G fill + the
-    3x3 convs), so a 4px full-res frame is recomputed with the exact XLA path.
-    Interior parity with demosaic_eag_channels is FMA-noise only (~1e-6 — EAG
-    has no decision thresholds to amplify it).
-    """
-    from ..demosaic.eag import demosaic_eag_channels
-
-    h, w = frame.bayer.shape[-2], frame.bayer.shape[-1]
-    f = 4
-    s = 2 * f + 8
-    if frame.bayer.ndim != 2 or h < 4 * s or w < 4 * s:
-        return demosaic_eag_channels(frame)
-
-    r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
-    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
-    out = _mega_chunked(
-        (r0, g1, g2, b0), mat, frame.wb_reciprocal(), frame.is_hdr,
-        0, interpret, algo="eag",
-    )
-    if out is None:
-        return demosaic_eag_channels(frame)
-
-    chans = [
-        quad_to_bayer(((out[k], out[k + 1]), (out[k + 2], out[k + 3])))
-        for k in (0, 4, 8)
-    ]
-
-    def crop(rows, cols):
-        sub = frame.replace(bayer=frame.bayer[rows, cols])
-        return demosaic_eag_channels(sub)
 
     top = crop(slice(0, s), slice(None))
     bot = crop(slice(h - s, h), slice(None))

@@ -206,7 +206,12 @@ def frame_from_parts(
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG path first, rawpy fallback if present."""
+    """Load any supported raw: built-in DNG, then built-in CR2, then rawpy."""
+    from .cr2 import is_cr2, load_raw_cr2
+
+    if is_cr2(source):
+        return load_raw_cr2(source)
+
     try:
         return load_raw_dng(source)
     except (ValueError, KeyError, NotImplementedError):
@@ -216,8 +221,8 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG decoder and rawpy is not "
-            "installed for other formats."
+            "Raw couldn't be read by the built-in DNG/CR2 decoders and rawpy is "
+            "not installed for other formats."
         ) from e
 
     from io import BytesIO

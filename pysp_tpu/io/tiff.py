@@ -139,6 +139,10 @@ class TiffTag:
     dtype: int
     count: int
     values: Any  # list of ints/floats/bytes; rationals as (num, den) tuples
+    # absolute file offset of an out-of-line value (None when inlined in the
+    # entry) — needed by blobs whose internal pointers are file-absolute
+    # (Canon MakerNote IFDs, cr2.py)
+    value_offset: Optional[int] = None
 
     def as_floats(self) -> List[float]:
         out = []
@@ -262,21 +266,25 @@ class TiffFile:
         raise ValueError(f"Unsupported TIFF compression {compression}")
 
 
-def _read_value(data: bytes, endian: str, dtype: int, count: int, raw: bytes) -> Any:
+def _read_value(
+    data: bytes, endian: str, dtype: int, count: int, raw: bytes
+) -> Tuple[Any, Optional[int]]:
     fmt, size = _TYPES[dtype]
     total = size * count
+    value_offset = None
     if total > 4:
         (offset,) = struct.unpack(endian + "L", raw)
         payload = data[offset : offset + total]
+        value_offset = offset
     else:
         payload = raw[:total]
 
     if dtype in (TYPE_ASCII, TYPE_UNDEFINED):
-        return payload
+        return payload, value_offset
     if dtype in (TYPE_RATIONAL, TYPE_SRATIONAL):
         flat = struct.unpack(endian + _TYPES[dtype][0][0] * 2 * count, payload)
-        return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)]
-    return list(struct.unpack(endian + fmt * count, payload))
+        return [(flat[2 * i], flat[2 * i + 1]) for i in range(count)], value_offset
+    return list(struct.unpack(endian + fmt * count, payload)), value_offset
 
 
 def _parse_ifd(data: bytes, endian: str, offset: int, depth: int = 0) -> Tuple[Ifd, int]:
@@ -289,8 +297,8 @@ def _parse_ifd(data: bytes, endian: str, offset: int, depth: int = 0) -> Tuple[I
         pos += 12
         if dtype not in _TYPES:
             continue
-        values = _read_value(data, endian, dtype, count, raw)
-        ifd.tags[tag] = TiffTag(tag, dtype, count, values)
+        values, value_offset = _read_value(data, endian, dtype, count, raw)
+        ifd.tags[tag] = TiffTag(tag, dtype, count, values, value_offset)
 
     (next_off,) = struct.unpack_from(endian + "L", data, pos)
 

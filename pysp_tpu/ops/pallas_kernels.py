@@ -592,7 +592,7 @@ def _ahd_mega_kernel(
     mat_ref, wb_ref,
     r_hbm, g1_hbm, g2_hbm, b_hbm,
     *refs,
-    tile_h: int, width: int, is_hdr: bool, stages: int, algo: str = "ahd",
+    tile_h: int, width: int, is_hdr: bool, stages: int,
     tail: tuple | None = None,
 ):
     """Whole-AHD megakernel: one DMA of the 4 CFA phase planes per band, every
@@ -601,7 +601,7 @@ def _ahd_mega_kernel(
     valid-mode band core (demosaic/ahd_band.py), 12 output planes written once.
     HBM traffic: 1 read + 3 writes per pixel — vs ~1 round-trip per stage for XLA.
     """
-    from ..demosaic.ahd_band import ahd_band_quads, eag_band_quads
+    from ..demosaic.ahd_band import ahd_band_quads
 
     outs = refs[:12]
     scratch, sems = refs[12], refs[13]
@@ -639,12 +639,9 @@ def _ahd_mega_kernel(
     planes = tuple(scratch[slot, k] for k in range(4))
     wb = (wb_ref[0, 0], wb_ref[0, 1], wb_ref[0, 2])
 
-    if algo == "eag":
-        out_r, out_g, out_b = eag_band_quads(planes, wb)
-    else:
-        out_r, out_g, out_b = ahd_band_quads(
-            planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
-        )
+    out_r, out_g, out_b = ahd_band_quads(
+        planes, mat_ref, wb, is_hdr, postprocess_stages=stages, cbrt_fn=_cbrt
+    )
 
     if tail is not None:
         from ..demosaic.ahd_band import color_tail_quads
@@ -672,7 +669,7 @@ def _ahd_mega_kernel(
 def ahd_mega_pallas(
     planes, color_mat: Array, wb: Array, is_hdr: bool,
     postprocess_stages: int = 1, tile_h: int = 0, interpret: bool = False,
-    algo: str = "ahd", tail: tuple | None = None,
+    tail: tuple | None = None,
 ):
     """Run the AHD megakernel over CFA phase planes (r, g1, g2, b), each (H/2, W/2).
 
@@ -694,16 +691,14 @@ def ahd_mega_pallas(
         # is the VMEM sweet spot (488 ps/px; 136+ regress); at wp<=896 tile 168
         # is ~13% better than 112 (432 vs 500 ps/px) and 144 hits a VMEM cliff,
         # so narrow launches cap at 168. EAG's live set is ~4x smaller.
-        live = 32 if algo == "eag" else 96
+        live = 96
         budget_rows = (_VMEM_LIMIT // 2) // max(live * wp * 4, 1)
-        if algo == "eag":
-            cap = 256
-        elif budget_rows >= 168 and wp <= 896:
+        if budget_rows >= 168 and wp <= 896:
             cap = 168  # never the 144 VMEM cliff: jump 112 -> 168 only when it fits
         else:
             cap = 112
         tile_h = min(cap, _round_up(h2, 8), max(budget_rows - budget_rows % 8, 8))
-        if algo != "eag" and 112 < tile_h < 168:
+        if 112 < tile_h < 168:
             tile_h = 112
     if tile_h % 8 or tile_h < 8:
         return None
@@ -720,7 +715,7 @@ def ahd_mega_pallas(
 
     kernel = partial(
         _ahd_mega_kernel, tile_h=tile_h, width=w2,
-        is_hdr=is_hdr, stages=postprocess_stages, algo=algo, tail=tail,
+        is_hdr=is_hdr, stages=postprocess_stages, tail=tail,
     )
     shape = jax.ShapeDtypeStruct((h2p, w2), jnp.float32)
     outs = pl.pallas_call(

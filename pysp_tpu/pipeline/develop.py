@@ -66,10 +66,9 @@ def _demosaic_channels(frame: RawFrame, cfg: DevelopConfig):
             return demosaic_ahd_mega(frame, cfg.postprocess_stages)
         return demosaic_ahd_channels(frame, cfg.postprocess_stages, cfg.use_pallas)
     if cfg.quality == QualityDemosaic.Fast:
-        # NOT routed through demosaic_eag_mega: measured 8.4 ms either way at
-        # 24 MP — EAG is VPU-bound and XLA already fuses it fully, so the banded
-        # kernel only adds compile time. The band core stays available for
-        # future whole-pipeline fusion.
+        # No Pallas path: an EAG megakernel measured 8.4 ms either way at 24 MP
+        # (EAG is VPU-bound and XLA already fuses it fully), so it was removed
+        # in round 2 rather than kept off-dispatch.
         return demosaic_eag_channels(frame)
     if cfg.quality == QualityDemosaic.Draft:
         return demosaic_draft_channels(frame)

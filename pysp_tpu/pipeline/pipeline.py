@@ -45,7 +45,8 @@ class PipelineConfig:
     repair_hot_pixels: bool = False
     hot_pixel_multiplier: float = 1.5
     hot_pixel_quantile: float = 0.9999
-    hot_pixel_iterations: int = 32
+    # fillable cluster radius for masked_fill_inpaint (was 32 Jacobi sweeps)
+    hot_pixel_iterations: int = 4
     # burst-consensus masks: flag pixels hot in >= this ratio of frames (None = per-frame)
     hot_pixel_shared_ratio: Optional[float] = None
     # Bayer-domain HDR fuse of the (batched) input burst

@@ -13,6 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Interpret-mode Pallas runs are minutes-per-test on CPU; the whole module is
+# opt-in (`pytest -m slow`). The band core itself stays gated in the default
+# suite via test_polyphase.py's bit-exact XLA comparison.
+pytestmark = pytest.mark.slow
+
 from pysp_tpu.colorimetry.transforms import cam_to_lin_srgb_matrix
 from pysp_tpu.core.bayer import bayer_to_rgbg
 from pysp_tpu.core.frame import RawFrame
@@ -148,57 +153,6 @@ def test_chunked_equals_unchunked():
     for k in range(12):
         np.testing.assert_array_equal(
             np.asarray(chunked[k]), np.asarray(single[k]), err_msg=f"plane {k}"
-        )
-
-
-def test_eag_band_valid_interior():
-    """EAG band core == demosaic_eag_channels bit-for-bit away from the border."""
-    from pysp_tpu.demosaic.ahd_band import eag_band_quads, eag_margin
-    from pysp_tpu.demosaic.eag import demosaic_eag_channels
-
-    frame = make_frame(h=64, w=96)
-    r0, g1, b0, g2 = bayer_to_rgbg(frame.bayer)
-    wb = frame.wb_reciprocal()
-
-    want = demosaic_eag_channels(frame)
-
-    P = 8
-    padded = [jnp.pad(p, P, mode="edge") for p in (r0, g1, g2, b0)]
-    got_q = eag_band_quads(padded, (wb[0], wb[1], wb[2]))
-
-    M = eag_margin()
-    h2, w2 = r0.shape
-    for c, name in zip(range(3), "rgb"):
-        got = np.asarray(quad_to_bayer(tuple(
-            tuple(p[P : P + h2, P : P + w2] for p in row) for row in got_q[c]
-        )))
-        w_ = np.asarray(want[c])
-        F = 2 * M
-        np.testing.assert_array_equal(
-            got[F:-F, F:-F], w_[F:-F, F:-F], err_msg=name
-        )
-
-
-def test_demosaic_eag_mega_stitch():
-    """Stitched EAG mega vs XLA path: exact borders, FMA-noise-only interior."""
-    from pysp_tpu.demosaic.ahd_mega import demosaic_eag_mega
-    from pysp_tpu.demosaic.eag import demosaic_eag_channels
-
-    frame = make_frame(h=96, w=112)
-    want = demosaic_eag_channels(frame)
-    got = demosaic_eag_mega(frame, interpret=True)
-
-    f = 4
-    for g, w_, name in zip(got, want, "rgb"):
-        g = np.asarray(g)
-        w_ = np.asarray(w_)
-        np.testing.assert_array_equal(g[:f, :], w_[:f, :], err_msg=f"{name} top")
-        np.testing.assert_array_equal(g[-f:, :], w_[-f:, :], err_msg=f"{name} bot")
-        np.testing.assert_array_equal(g[:, :f], w_[:, :f], err_msg=f"{name} left")
-        np.testing.assert_array_equal(g[:, -f:], w_[:, -f:], err_msg=f"{name} right")
-        # EAG has no decision thresholds: FMA contraction noise only
-        np.testing.assert_allclose(
-            g[f:-f, f:-f], w_[f:-f, f:-f], atol=2e-5, rtol=0, err_msg=name
         )
 
 

@@ -315,3 +315,71 @@ def test_scale_pairs_device_matches_host():
     assert dev.shape == host.shape and len(dev) > 4
     # f32 device positions vs f64 host positions: ~1e-4 px (documented in matcher)
     np.testing.assert_allclose(dev, host, atol=2e-4)
+
+
+def test_remove_ca_apply_matches_cv2_transcription():
+    """North-star per-stage gate: the full CA-apply path (G upsample -> inverse-warp
+    G -> G-guided R/B upsample -> forward-warp -> Bayer re-sample) vs a NumPy/cv2
+    transcription of the reference (corr_ca/ca_removal.py:48-132), >= 50 dB.
+
+    Both sides use the same Poly5 radial model (the coordinate math itself is
+    transcription-gated in test_coordinate_fields_roundtrip); the gate isolates the
+    remap + resample composition.
+    """
+    import cv2
+
+    import golden_ref as ref
+    from pysp_tpu.correct.ca.models import Poly5CorrectionModel
+    from pysp_tpu.correct.ca.removal import remove_ca_from_raw
+
+    rng = np.random.default_rng(17)
+    h = w = 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (
+        0.4
+        + 0.25 * np.sin(xx / 8) * np.cos(yy / 11)
+        + 0.15 * ((xx + 2 * yy) % 23 > 11)
+        + rng.normal(0, 0.005, (h, w))
+    ).astype(np.float32)
+    bayer = np.clip(base, 0.02, 0.98)
+    wb = np.array([0.5, 1.0, 0.6], np.float32)
+    frame = RawFrame.synthetic(bayer, wb_neutral=wb)
+
+    model_r = Poly5CorrectionModel(0.004, -0.001)
+    model_b = Poly5CorrectionModel(-0.003, 0.0008)
+
+    got = np.asarray(remove_ca_from_raw(frame, model_r, model_b).bayer)
+
+    # --- transcription (cv2.remap INTER_LINEAR + golden EAG resamples) ---
+    def remap_off(chan, coords):
+        ch, cw = chan.shape
+        mx = np.clip(coords[..., 1] + (cw - 1) / 2.0, 0, cw - 1).astype(np.float32)
+        my = np.clip(coords[..., 0] + (ch - 1) / 2.0, 0, ch - 1).astype(np.float32)
+        return cv2.remap(chan, mx, my, cv2.INTER_LINEAR)
+
+    def resample_chan(x, g_full, pos):
+        g_hf = g_full - cv2.GaussianBlur(g_full, (3, 3), 1.0)
+        g_sub = ref.split(g_full)[0 if pos == 0 else 2]
+        return ref.ref_resample_channel(x, g_sub, g_hf, pos)
+
+    wbr = 1.0 / wb
+    r, g1, b, g2 = ref.split(bayer)
+    g_res = ref.ref_resample_g_full(g1, g2)
+
+    coords = np.asarray(model_r.get_undistorted_coordinates(jnp.asarray(g_res)))
+    g_at_r = remap_off(g_res, coords)
+    r_res = resample_chan(r * wbr[0], g_at_r, 0)
+    coords = np.asarray(model_r.get_distorted_coordinates(jnp.asarray(r_res)))
+    r_new = ref.split(remap_off(r_res, coords))[0] / wbr[0]
+
+    coords = np.asarray(model_b.get_undistorted_coordinates(jnp.asarray(g_res)))
+    g_at_b = remap_off(g_res, coords)
+    b_res = resample_chan(b * wbr[2], g_at_b, 3)
+    coords = np.asarray(model_b.get_distorted_coordinates(jnp.asarray(b_res)))
+    b_new = ref.split(remap_off(b_res, coords))[2] / wbr[2]
+
+    want = ref.merge(r_new, g1, b_new, g2)
+
+    mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
+    p = np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert p > 50, p

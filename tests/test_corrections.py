@@ -95,6 +95,29 @@ def test_find_shared_pixels():
     assert find_shared_pixels([m1, np.zeros((4, 4, 4), bool)]) is None
 
 
+def test_masked_fill_inpaint():
+    from pysp_tpu.correct.bad_pixels import masked_fill_inpaint
+
+    rng = np.random.default_rng(4)
+    chan = jnp.asarray(rng.random((24, 24)).astype(np.float32))
+    mask = jnp.zeros((24, 24), bool)
+    # isolated pixel: converged solution == average of its 4 valid neighbors
+    mask = mask.at[5, 7].set(True)
+    # 2x2 cluster
+    mask = mask.at[14:16, 10:12].set(True)
+    out = np.asarray(masked_fill_inpaint(chan, mask))
+    c = np.asarray(chan)
+    want_iso = (c[4, 7] + c[6, 7] + c[5, 6] + c[5, 8]) / 4
+    np.testing.assert_allclose(out[5, 7], want_iso, rtol=1e-6)
+    # cluster pixels land within the neighborhood's value range
+    lo, hi = c[12:18, 8:14].min(), c[12:18, 8:14].max()
+    assert (out[14:16, 10:12] >= lo - 1e-6).all()
+    assert (out[14:16, 10:12] <= hi + 1e-6).all()
+    # untouched pixels bit-preserved
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(out[~m], c[~m])
+
+
 def test_diffusion_inpaint_flat_region():
     chan = jnp.full((16, 16), 0.7)
     chan = chan.at[5, 5].set(5.0)

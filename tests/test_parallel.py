@@ -67,6 +67,41 @@ def test_burst_sharded_develop():
 
 
 @requires_multi
+@pytest.mark.slow
+def test_spatial_sharded_pallas_megakernel_interpret():
+    """The Pallas megakernel runs INSIDE shard_map (interpret mode on the virtual
+    mesh): halos are exchanged before the local develop, so the kernel is purely
+    device-local. Gate: sharded interpret-mega == monolithic interpret-mega on
+    every interior row (identical kernel on identical padded data)."""
+    from pysp_tpu.demosaic.ahd_mega import develop_channels_mega
+
+    def mega_develop(frame, cfg):
+        out = develop_channels_mega(
+            frame, cfg.postprocess_stages, cfg.clip_highlights, cfg.gamma_encode,
+            interpret=True,
+        )
+        assert out is not None, "megakernel fell back (block too small?)"
+        return jnp.stack(out, axis=-1).astype(jnp.float32)
+
+    rgb = make_scene(320, 144, seed=21)
+    frame = RawFrame.synthetic(mosaic_rggb(rgb))
+    cfg = DevelopConfig(quality=QualityDemosaic.Best)
+
+    mesh = make_mesh((1, 2))
+    got = np.asarray(
+        develop_spatial(frame, cfg, mesh, halo=16, _develop_fn=mega_develop)
+    )
+    want = np.asarray(mega_develop(frame, cfg))
+    assert got.shape == want.shape
+    # Band boundaries differ between the 192-row sharded launches and the
+    # 320-row monolithic launch, so homogeneity tie flips are expected
+    # (test_ahd_mega gating); geometry bugs would collapse PSNR entirely.
+    gi, wi = got[16:-16], want[16:-16]
+    assert psnr(gi, wi) > 50
+    assert np.mean(np.abs(gi - wi) > 1e-4) < 0.05
+
+
+@requires_multi
 def test_combined_mesh_axes():
     """2x4 mesh: burst sharded over batch while rows shard spatially."""
     mesh = make_mesh((2, 4))

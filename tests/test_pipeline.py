@@ -65,7 +65,7 @@ def test_single_frame_corrections_match_manual():
     f = dark_frame_subtraction(frame, dark)
     f = flat_frame_correction(f, flat)
     masks = find_erroneous_pixels_median(f, 1.5, 0.999)
-    f = repair_bad_pixels(f, masks, 32)
+    f = repair_bad_pixels(f, masks)
     want = develop(f, DEV)
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=0)
@@ -92,7 +92,7 @@ def test_burst_consensus_masks_match_find_shared():
 
     masks = [find_erroneous_pixels_median(f, 1.5, 0.999) for f in frames]
     shared = find_shared_pixels(masks, min_ratio=0.5)
-    healed = [repair_bad_pixels(f, shared, 32) for f in frames]
+    healed = [repair_bad_pixels(f, shared) for f in frames]
     fused, _ = fuse_exposures_to_raw(
         jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *healed)
     )

@@ -320,3 +320,45 @@ class TestFixBadPixelOpcodes:
 
         leaked = np.asarray(load_raw_dng(blob, apply_gain_opcodes=False).bayer)
         assert leaked[10, 14] > 2 * base
+
+
+def test_warp_apply_matches_cv2_transcription():
+    """North-star per-stage gate: full OpcodeList3 WarpRectilinear apply (table +
+    Lanczos4 resample, per channel) vs the reference transcription
+    (dng_warp_corr/chan_distortion_corr.py:86-98: table -> clip -> cv2.remap
+    INTER_LANCZOS4), >= 50 dB away from cv2's zero border."""
+    h, w = 96, 112
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rng = np.random.default_rng(9)
+    img = np.dstack([
+        np.clip(0.4 + 0.3 * np.sin(xx / 7 + c) * np.cos(yy / 9 - c)
+                + 0.1 * ((xx + yy + 5 * c) % 19 > 9)
+                + rng.normal(0, 0.004, (h, w)), 0.02, 0.98).astype(np.float32)
+        for c in range(3)
+    ])
+    coeffs = [
+        (1.01, -0.04, 0.006, -0.001, 0.0006, -0.0004),
+        (1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        (0.99, 0.05, -0.004, 0.0008, -0.0005, 0.0007),
+    ]
+    center = (0.5, 0.47)
+    block = encode_warp_rectilinear(coeffs, center)
+
+    got = np.asarray(apply_opcode_3_warp(img, block, interpolation="lanczos4"))
+
+    want = img.copy()
+    for c in range(3):
+        table = _ref_table(coeffs[c], w, h, center[0], center[1], 1.0)
+        want[..., c] = cv2.remap(
+            img[..., c],
+            np.clip(table[..., 0], 0, w - 1),
+            np.clip(table[..., 1], 0, h - 1),
+            cv2.INTER_LANCZOS4,
+        )
+
+    interior = np.s_[8:-8, 8:-8]  # Lanczos 8-tap reach hits cv2's zero border
+    mse = np.mean(
+        (got[interior].astype(np.float64) - want[interior].astype(np.float64)) ** 2
+    )
+    p = np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
+    assert p > 50, p
