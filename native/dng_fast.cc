@@ -64,12 +64,13 @@ struct BitReader {
   uint32_t bitbuf = 0;
   int bitcnt = 0;
   bool bad = false;
+  bool stuffed = true;  // false: plain MSB-first bitstream (NEF)
 
   // JPEG entropy-coded segment: 0xFF bytes are followed by a stuffed 0x00
   int next_byte() {
     if (pos >= size) return -1;
     uint8_t b = data[pos++];
-    if (b == 0xFF) {
+    if (stuffed && b == 0xFF) {
       if (pos < size && data[pos] == 0x00) {
         pos++;
       } else {
@@ -437,6 +438,207 @@ int64_t dng_ljpeg_encode(const uint16_t* img, int32_t height, int32_t width,
   put(0xFF); put(0xD9);  // EOI
 
   return (p <= out_capacity) ? p : -2;
+}
+
+
+// ---------------------------------------------------------------------------------
+// Nikon NEF compressed CFA (TIFF compression 34713)
+//
+// Per-pixel Huffman-coded prediction residuals: the first two columns of each
+// row update running vertical predictors (two-row phase), later columns predict
+// horizontally per column parity; decoded values map through the camera's
+// linearization curve. The six canonical tree specs (JPEG-style length
+// histogram + value bytes whose high nibble is an extra shift) are the
+// long-public constants every open raw decoder ships; which tree applies is
+// keyed by the metadata blob's version bytes and bit depth (io/nef.py).
+
+namespace {
+
+const uint8_t kNefTree[6][32] = {
+    // 12-bit lossy
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12},
+    // 12-bit lossy after split
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     0x39, 0x5a, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12},
+    // 12-bit lossless
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12},
+    // 14-bit lossy
+    {0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13},
+    // 14-bit lossy after split
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,
+     8, 0x5c, 0x4b, 0x3a, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14},
+    // 14-bit lossless
+    {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+     7, 6, 5, 8, 4, 9, 3, 10, 2, 11, 12, 0, 1, 13, 14},
+};
+
+struct NefHuff {
+  uint16_t min_code[17];
+  uint16_t max_code[17];
+  int16_t val_index[17];
+  uint8_t values[32];
+};
+
+void nef_build_huff(const uint8_t* spec, NefHuff* ht) {
+  int code = 0, idx = 0;
+  for (int len = 1; len <= 16; ++len) {
+    int n = spec[len - 1];
+    if (n == 0) {
+      ht->val_index[len] = -1;
+      ht->min_code[len] = 1;
+      ht->max_code[len] = 0;
+    } else {
+      ht->min_code[len] = static_cast<uint16_t>(code);
+      ht->max_code[len] = static_cast<uint16_t>(code + n - 1);
+      ht->val_index[len] = static_cast<int16_t>(idx);
+      for (int i = 0; i < n; ++i) ht->values[idx + i] = spec[16 + idx + i];
+      idx += n;
+      code += n;
+    }
+    code <<= 1;
+  }
+}
+
+int nef_decode_huff(BitReader& br, const NefHuff& ht) {
+  int code = 0;
+  for (int len = 1; len <= 16; ++len) {
+    code = (code << 1) | br.get_bit();
+    if (br.bad) return -1;
+    if (ht.val_index[len] >= 0 && code >= ht.min_code[len] &&
+        code <= ht.max_code[len]) {
+      return ht.values[ht.val_index[len] + (code - ht.min_code[len])];
+    }
+  }
+  return -1;
+}
+
+}  // namespace
+
+// Decode a NEF compressed CFA strip. vpred_in: 4 u16 seeds (row-phase 0: cols
+// 0/1, row-phase 1: cols 0/1). split_row > 0 switches to tree_idx+1 at that
+// row (lossy-type-2 files). curve: linearization LUT (values clamped to
+// curve_len-1). Returns 0 on success.
+int nef_decode(const uint8_t* data, int64_t size, uint16_t* out,
+               int32_t height, int32_t width, int32_t tree_idx,
+               const uint16_t* vpred_in, int32_t split_row,
+               const uint16_t* curve, int32_t curve_len) {
+  if (tree_idx < 0 || tree_idx > 5 || curve_len < 1) return -1;
+  if (split_row > 0 && tree_idx + 1 > 5) return -1;
+  NefHuff ht;
+  nef_build_huff(kNefTree[tree_idx], &ht);
+  BitReader br{data, size};
+  br.stuffed = false;
+  int vpred[2][2] = {
+      {vpred_in[0], vpred_in[1]}, {vpred_in[2], vpred_in[3]}};
+  int hpred[2] = {0, 0};
+  for (int32_t row = 0; row < height; ++row) {
+    if (split_row > 0 && row == split_row) {
+      nef_build_huff(kNefTree[tree_idx + 1], &ht);
+    }
+    for (int32_t col = 0; col < width; ++col) {
+      int i = nef_decode_huff(br, ht);
+      if (i < 0) return -2;
+      int len = i & 15;
+      int shl = i >> 4;
+      int diff = 0;
+      if (len > 0) {
+        int bitsv = br.get_bits(len - shl);
+        if (br.bad) return -3;
+        diff = (((bitsv << 1) + 1) << shl) >> 1;
+        if ((diff & (1 << (len - 1))) == 0) diff -= (1 << len) - (shl ? 0 : 1);
+      }
+      if (col < 2) {
+        vpred[row & 1][col] += diff;
+        hpred[col] = vpred[row & 1][col];
+      } else {
+        hpred[col & 1] += diff;
+      }
+      int v = hpred[col & 1];
+      if (v < 0) v = 0;
+      if (v > 0x3fff) v = 0x3fff;
+      if (v >= curve_len) v = curve_len - 1;
+      out[static_cast<int64_t>(row) * width + col] = curve[v];
+    }
+  }
+  return 0;
+}
+
+// Encode a mosaic as a NEF compressed strip (test fixtures; lossless trees
+// only — every value byte must have a zero shift nibble). Inverse of
+// nef_decode with an identity curve. Returns encoded size or negative.
+int64_t nef_encode(const uint16_t* img, int32_t height, int32_t width,
+                   int32_t tree_idx, const uint16_t* vpred_in, uint8_t* out,
+                   int64_t out_capacity) {
+  if (tree_idx != 0 && tree_idx != 2 && tree_idx != 3 && tree_idx != 5)
+    return -1;  // trees whose leaves carry no shift nibble
+  const uint8_t* spec = kNefTree[tree_idx];
+  uint16_t code_of[17];
+  int len_of[17];
+  for (int i = 0; i <= 16; ++i) len_of[i] = 0;
+  {
+    int code = 0, idx = 0;
+    for (int len = 1; len <= 16; ++len) {
+      for (int i = 0; i < spec[len - 1]; ++i) {
+        uint8_t v = spec[16 + idx];
+        if (v >> 4) return -2;  // shifted leaf: not invertible losslessly here
+        code_of[v] = static_cast<uint16_t>(code);
+        len_of[v] = len;
+        code++;
+        idx++;
+      }
+      code <<= 1;
+    }
+  }
+
+  int64_t p = 0;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  auto put_bits = [&](uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) {
+      bitbuf = (bitbuf << 1) | ((v >> i) & 1);
+      if (++bitcnt == 8) {
+        if (p < out_capacity) out[p] = static_cast<uint8_t>(bitbuf & 0xFF);
+        p++;
+        bitbuf = 0;
+        bitcnt = 0;
+      }
+    }
+  };
+
+  int vpred[2][2] = {
+      {vpred_in[0], vpred_in[1]}, {vpred_in[2], vpred_in[3]}};
+  int hpred[2] = {0, 0};
+  for (int32_t row = 0; row < height; ++row) {
+    for (int32_t col = 0; col < width; ++col) {
+      int v = img[static_cast<int64_t>(row) * width + col] & 0x3fff;
+      int diff;
+      if (col < 2) {
+        diff = v - vpred[row & 1][col];
+        vpred[row & 1][col] = v;
+        hpred[col] = v;
+      } else {
+        diff = v - hpred[col & 1];
+        hpred[col & 1] = v;
+      }
+      int s = 0;
+      for (int a = diff < 0 ? -diff : diff; a > 0; a >>= 1) s++;
+      if (s > 16 || len_of[s] == 0) return -3;
+      put_bits(code_of[s], len_of[s]);
+      if (s > 0) {
+        int val = diff < 0 ? diff + (1 << s) - 1 : diff;
+        put_bits(static_cast<uint32_t>(val) & ((1u << s) - 1), s);
+      }
+    }
+  }
+  if (bitcnt > 0) {
+    bitbuf <<= (8 - bitcnt);
+    if (p < out_capacity) out[p] = static_cast<uint8_t>(bitbuf & 0xFF);
+    p++;
+  }
+  return (p <= out_capacity) ? p : -4;
 }
 
 // u16 mosaic -> f32 normalized mosaic: clip(x - black[phase], 0, sat[phase]) / sat.

@@ -37,6 +37,7 @@ from .pipeline.pipeline import PipelineConfig, develop_pipeline
 from .pipeline.stream import develop_files, develop_stream
 from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
 from .io.cr2 import load_raw_cr2
+from .io.nef import load_raw_nef
 from .io.camera_matrices import register_camera_matrices
 from .io.metadata import (
     compute_ev,
@@ -120,6 +121,7 @@ __all__ = [
     "load_raw",
     "load_raw_cr2",
     "load_raw_dng",
+    "load_raw_nef",
     "register_camera_matrices",
     "frame_from_parts",
     "bayer_normalize",

@@ -65,6 +65,29 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.nef_decode.restype = ctypes.c_int
+    lib.nef_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+    ]
+    lib.nef_encode.restype = ctypes.c_int64
+    lib.nef_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
     lib.dng_swap16.restype = None
     lib.dng_swap16.argtypes = [
         ctypes.c_char_p,
@@ -157,3 +180,60 @@ def swap16(data: bytes) -> np.ndarray:
     out = np.empty(count, np.uint16)
     lib.dng_swap16(data, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), count)
     return out
+
+
+def nef_decode(
+    blob: bytes,
+    height: int,
+    width: int,
+    tree_idx: int,
+    vpred: np.ndarray,
+    split_row: int,
+    curve: np.ndarray,
+) -> np.ndarray:
+    """Decode a Nikon NEF compressed CFA strip -> (H, W) uint16."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    out = np.empty((height, width), np.uint16)
+    vp = np.ascontiguousarray(vpred, np.uint16)
+    cv = np.ascontiguousarray(curve, np.uint16)
+    rc = lib.nef_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+        tree_idx,
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        split_row,
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cv.size,
+    )
+    if rc != 0:
+        raise ValueError(f"NEF decode failed (code {rc})")
+    return out
+
+
+def nef_encode(img: np.ndarray, tree_idx: int, vpred: np.ndarray) -> bytes:
+    """Encode (H, W) uint16 (<= 14 bit) as a NEF compressed strip (fixtures)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    h, w = img.shape
+    flat = np.ascontiguousarray(img, np.uint16)
+    vp = np.ascontiguousarray(vpred, np.uint16)
+    cap = flat.size * 4 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.nef_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h,
+        w,
+        tree_idx,
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"NEF encode failed (code {n})")
+    return out[:n].tobytes()

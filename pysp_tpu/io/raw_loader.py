@@ -206,7 +206,7 @@ def frame_from_parts(
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG, then built-in CR2, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
@@ -217,12 +217,17 @@ def load_raw(source: Source) -> RawFrame:
     except (ValueError, KeyError, NotImplementedError):
         pass
 
+    from .nef import is_nef, load_raw_nef
+
+    if is_nef(source):
+        return load_raw_nef(source)
+
     try:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2 decoders and rawpy is "
-            "not installed for other formats."
+            "Raw couldn't be read by the built-in DNG/CR2/NEF decoders and rawpy "
+            "is not installed for other formats."
         ) from e
 
     from io import BytesIO
