@@ -20,6 +20,10 @@ import numpy as np
 def main() -> None:
     import jax
 
+    from benchmarks.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from benchmarks.timing import timed_loop
     from pysp_tpu import DevelopConfig, QualityDemosaic, RawFrame
     from pysp_tpu.parallel.mesh import make_mesh

@@ -198,10 +198,23 @@ def _info(args) -> int:
         get_opcode_3_block,
     )
 
+    from .io.cr2 import is_cr2
+    from .io.nef import is_nef
+
     tf = T.read_tiff(args.input)
-    raw = tf.find_raw_ifd()
     out = {}
-    if raw is not None:
+    if is_cr2(args.input):
+        out["format"] = "CR2"
+        from .io.cr2 import _find_raw_ifd
+
+        raw = _find_raw_ifd(tf)
+    else:
+        out["format"] = "NEF" if is_nef(args.input) else "DNG/TIFF"
+        raw = tf.find_raw_ifd()
+    model = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
+    if model is not None:
+        out["model"] = model.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
+    if raw is not None and raw.get(T.TAG_IMAGE_LENGTH) is not None:
         out["size"] = [
             raw.get(T.TAG_IMAGE_LENGTH).as_ints()[0],
             raw.get(T.TAG_IMAGE_WIDTH).as_ints()[0],
