@@ -104,3 +104,68 @@ def test_pattern_roundtrip_through_compat():
     out_rggb = np.asarray(rggb.demosaic(QualityDemosaic.Draft).image)
     out_bggr = np.asarray(bggr.demosaic(QualityDemosaic.Draft).image)
     np.testing.assert_allclose(out_bggr, out_rggb[::-1, ::-1], atol=1e-6)
+
+
+def test_rawpy_loader_paths_with_mock(monkeypatch):
+    """Execute the rawpy-gated branches (raw_loader.load_raw fallback and
+    compat.RawDebayerDataFromRaw, image.py:309-357) against a mock libraw:
+    the environment has no rawpy, so the gate tests only ever saw the raise.
+    The synthetic DNG supplies the metadata side (EXIF matrices, EV)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from pysp_tpu.io import raw_loader
+    from pysp_tpu.io.tiff import write_synthetic_dng
+
+    rng = np.random.default_rng(8)
+    bayer = rng.integers(300, 3900, (32, 32)).astype(np.uint16)
+    data = write_synthetic_dng(bayer)
+
+    class FakeRaw:
+        raw_image = bayer
+        black_level_per_channel = [256, 256, 256, 256]
+        camera_white_level_per_channel = [4095] * 4
+        raw_pattern = np.array([[0, 1], [3, 2]])
+        color_desc = b"RGBG"
+        daylight_whitebalance = (2.0, 1.0, 1.5, 0.0)
+
+        def postprocess(self, **kw):
+            assert kw["no_auto_bright"] and kw["use_camera_wb"]
+            return np.full((32, 32, 3), 1 << 15, np.uint16)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("rawpy")
+    fake.imread = lambda reader: FakeRaw()
+    fake.DemosaicAlgorithm = types.SimpleNamespace(AHD=1)
+    fake.FBDDNoiseReductionMode = types.SimpleNamespace(Full=1)
+    fake.ColorSpace = types.SimpleNamespace(raw=1)
+    fake.HighlightMode = types.SimpleNamespace(Clip=1)
+    monkeypatch.setitem(sys.modules, "rawpy", fake)
+
+    # force the fallback: pretend the built-in DNG path cannot read this file
+    monkeypatch.setattr(
+        raw_loader, "load_raw_dng",
+        lambda src, **kw: (_ for _ in ()).throw(ValueError("forced")),
+    )
+
+    frame = raw_loader.load_raw(data)
+    assert frame.bayer.shape == (32, 32)
+    want = np.clip(bayer.astype(np.float64) - 256, 0, 4095) / 4095.0
+    np.testing.assert_allclose(
+        np.asarray(frame.bayer), want.astype(np.float32), atol=1e-6
+    )
+
+    from pysp_tpu.compat import RawDebayerDataFromRaw
+
+    dem = RawDebayerDataFromRaw(data)
+    img = np.asarray(dem.image)
+    assert img.shape == (32, 32, 3)
+    np.testing.assert_allclose(img, (1 << 15) / (2**16 - 1), atol=1e-6)
+    assert np.isfinite(float(dem.current_ev))
