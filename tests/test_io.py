@@ -350,3 +350,48 @@ def test_linearization_table_applied():
     np.testing.assert_allclose(
         np.asarray(frame.bayer), (2304 - 256) / 4095, rtol=1e-6
     )
+
+
+def test_native_codec_fuzz_roundtrips():
+    """Randomized roundtrips across precisions/components (LJ92) and trees/
+    vpred seeds (NEF) — VERDICT r1 item 8. Adversarial content: full-range
+    noise, constant blocks, alternating extremes (max-magnitude diffs)."""
+    from pysp_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native libdng_fast.so not built")
+
+    rng = np.random.default_rng(99)
+    for precision in (8, 10, 12, 14, 16):
+        top = (1 << precision) - 1
+        for n_comp in (1, 2, 3):
+            h, w = int(rng.integers(3, 24)), int(rng.integers(3, 24))
+            imgs = [
+                rng.integers(0, top + 1, (h, w, n_comp)),
+                np.full((h, w, n_comp), top),
+                np.zeros((h, w, n_comp), int),
+                np.indices((h, w))[0][..., None].repeat(n_comp, -1) % 2 * top,
+            ]
+            for img in imgs:
+                img = img.astype(np.uint16)
+                blob = native.ljpeg_encode(img, precision=precision)
+                back = native.ljpeg_decode(blob)
+                if back.ndim == 2:
+                    back = back[..., None]
+                np.testing.assert_array_equal(back, img, err_msg=f"p{precision}c{n_comp}")
+
+    # tree 3 (14-bit lossy) has no 14-bit diff category: its curve domain keeps
+    # residuals within 13 bits, so the fuzz range is capped there
+    for tree, bits, top in (
+        (0, 12, 4095), (2, 12, 4095), (3, 14, 8191), (5, 14, 16383)
+    ):
+        for _ in range(3):
+            h, w = int(rng.integers(2, 20)) * 2, int(rng.integers(2, 20)) * 2
+            img = rng.integers(0, top + 1, (h, w)).astype(np.uint16)
+            img[0, :] = top  # max-magnitude first-row diffs
+            img[1, :] = 0
+            vpred = rng.integers(0, top + 1, 4).astype(np.uint16)
+            blob = native.nef_encode(img, tree, vpred)
+            curve = np.arange(1 << bits, dtype=np.uint16)
+            back = native.nef_decode(blob, h, w, tree, vpred, 0, curve)
+            np.testing.assert_array_equal(back, img, err_msg=f"tree{tree}")
