@@ -68,7 +68,45 @@ def main() -> None:
     finally:
         pk._ahd_mega_kernel = orig
 
-    print(f"cbrt share: {(base - ident) / base * 100:.1f}%", flush=True)
+    print(f"cbrt share (upper bound): {(base - ident) / base * 100:.1f}%",
+          flush=True)
+
+    # Newton candidate: magic-constant seed (max rel err 3.2%) + 3 divide-form
+    # iterations -> 6e-8 max rel (f32 machine precision; derived numerically,
+    # constant 0x2a510000 scanned over x in [1e-8, 1e3]).
+    def newton_cbrt(x):
+        i = jax.lax.bitcast_convert_type(x, jnp.int32)
+        y = jax.lax.bitcast_convert_type(
+            jnp.int32(0x2A510000) + i // 3, jnp.float32
+        )
+        for _ in range(3):
+            y = (2.0 * y + x / (y * y)) * jnp.float32(1.0 / 3.0)
+        return y
+
+    def patched_newton(*args, **kwargs):
+        from pysp_tpu.demosaic import ahd_band
+
+        orig_band = ahd_band.ahd_band_quads
+
+        def band_newton(planes_, mat_, wb_, is_hdr, postprocess_stages=1,
+                        cbrt_fn=None):
+            return orig_band(
+                planes_, mat_, wb_, is_hdr, postprocess_stages,
+                cbrt_fn=newton_cbrt,
+            )
+
+        ahd_band.ahd_band_quads = band_newton
+        try:
+            return orig(*args, **kwargs)
+        finally:
+            ahd_band.ahd_band_quads = orig_band
+
+    pk._ahd_mega_kernel = patched_newton
+    try:
+        newt = run_case("newton3-cbrt", planes, mat, wb)
+    finally:
+        pk._ahd_mega_kernel = orig
+    print(f"newton3 vs explog: {(base - newt) / base * 100:+.1f}%", flush=True)
 
 
 if __name__ == "__main__":
