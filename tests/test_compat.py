@@ -169,3 +169,30 @@ def test_rawpy_loader_paths_with_mock(monkeypatch):
     assert img.shape == (32, 32, 3)
     np.testing.assert_allclose(img, (1 << 15) / (2**16 - 1), atol=1e-6)
     assert np.isfinite(float(dem.current_ev))
+
+
+def test_raw_bayer_from_cr2_and_nef():
+    """compat's class API opens the built-in non-DNG formats: no EXIF color
+    matrices exist there, so the controller falls back to the loader's."""
+    import numpy as np
+
+    from pysp_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native codec not built")
+
+    from pysp_tpu.compat import RawBayerDataFromRaw
+    from pysp_tpu.io.cr2 import write_synthetic_cr2
+    from pysp_tpu.io.nef import write_synthetic_nef
+
+    rng = np.random.default_rng(12)
+    mosaic = rng.integers(100, 16000, (64, 96)).astype(np.uint16)
+    for data in (write_synthetic_cr2(mosaic), write_synthetic_nef(mosaic)):
+        raw = RawBayerDataFromRaw(data)
+        assert np.asarray(raw.sensor_scaled).shape == (64, 96)
+        from pysp_tpu.const import QualityDemosaic
+        dev = raw.demosaic(QualityDemosaic.Fast)
+        img = np.asarray(dev.to_lin_srgb())
+        assert img.shape == (64, 96, 3) and np.isfinite(img).all()
