@@ -167,13 +167,16 @@ def develop_burst_spatial(
     cfg: DevelopConfig,
     mesh: Mesh,
     halo: int = 16,
+    _develop_fn=None,
 ) -> Array:
     """Fully sharded burst develop: frame axis over 'batch' AND rows over 'spatial'.
 
     This is the production layout for large bursts of large sensors: data parallelism
     over frames, spatial row-sharding with ICI halo exchange within each frame.
+    ``_develop_fn`` overrides the local develop (see develop_spatial).
     """
     assert halo % 2 == 0
+    dev_fn = _develop_fn or develop.__wrapped__
     n_b = mesh.shape[BATCH_AXIS]
     n_sp = mesh.shape[SPATIAL_AXIS]
     n, h = frames.bayer.shape[0], frames.bayer.shape[1]
@@ -207,7 +210,7 @@ def develop_burst_spatial(
                 lim_sat=ls, is_hdr=frames.is_hdr,
                 source_pattern=frames.source_pattern,
             )
-            return develop.__wrapped__(f, cfg)[halo:-halo]
+            return dev_fn(f, cfg)[halo:-halo]
 
         return jax.lax.map(
             one, (padded, cam_mat, cam_white, wb_neutral, ev, lim_sat)

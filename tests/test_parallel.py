@@ -113,3 +113,39 @@ def test_combined_mesh_axes():
     got = np.asarray(develop_spatial(frame, cfg, mesh, halo=8))
     want = np.asarray(develop(frame, cfg))
     np.testing.assert_allclose(got[8:-8], want[8:-8], atol=2e-5)
+
+
+@requires_multi
+@pytest.mark.slow
+def test_burst_spatial_pallas_megakernel_interpret():
+    """The production layout (batch x spatial) with the Pallas megakernel as the
+    local develop (interpret mode): every frame matches the monolithic
+    interpret-mega develop to tie-flip noise."""
+    from pysp_tpu.demosaic.ahd_mega import develop_channels_mega
+    from pysp_tpu.parallel.spatial import develop_burst_spatial
+
+    def mega_develop(frame, cfg):
+        out = develop_channels_mega(
+            frame, cfg.postprocess_stages, cfg.clip_highlights, cfg.gamma_encode,
+            interpret=True,
+        )
+        assert out is not None
+        return jnp.stack(out, axis=-1).astype(jnp.float32)
+
+    frames = []
+    for i in range(2):
+        rgb = make_scene(320, 144, seed=30 + i)
+        frames.append(RawFrame.synthetic(mosaic_rggb(rgb)))
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+
+    cfg = DevelopConfig(quality=QualityDemosaic.Best)
+    mesh = make_mesh((2, 2))
+    got = np.asarray(
+        develop_burst_spatial(batch, cfg, mesh, halo=16, _develop_fn=mega_develop)
+    )
+    assert got.shape == (2, 320, 144, 3)
+    for i in range(2):
+        want = np.asarray(mega_develop(frames[i], cfg))
+        gi, wi = got[i, 16:-16], want[16:-16]
+        assert psnr(gi, wi) > 50
+        assert np.mean(np.abs(gi - wi) > 1e-4) < 0.05
