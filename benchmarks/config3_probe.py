@@ -58,13 +58,14 @@ def main() -> None:
     t("repair (fill 4+2) ",
       lambda f, m: repair_bad_pixels(f, m).bayer, frame, masks)
 
-    # quantile bisection alone, at both iteration counts
+    # quantile search alone: old binary bisection (branches=1 x 30 passes) vs
+    # the 16-way multisection (4 passes, one fused delta read each)
     from pysp_tpu.correct.bad_pixels import _bisect_quantile
 
     planes = bayer_to_planes(frame.bayer)
     delta = jnp.abs(planes - jnp.roll(planes, 1, axis=-1))
-    t("bisect q (30 it)  ", lambda d: _bisect_quantile(d, 0.9999, 30), delta)
-    t("bisect q (16 it)  ", lambda d: _bisect_quantile(d, 0.9999, 16), delta)
+    t("binary q (30x1)   ", lambda d: _bisect_quantile(d, 0.9999, 30, 1), delta)
+    t("multisect q (4x16)", lambda d: _bisect_quantile(d, 0.9999, 4, 16), delta)
 
     from pysp_tpu.ops.stencil import median2
 

@@ -63,30 +63,38 @@ def find_erroneous_pixels_median(
     return delta > strong
 
 
-def _bisect_quantile(delta, q: float, iters: int = 30):
-    """Per-plane upper-order-statistic quantile via count bisection.
+def _bisect_quantile(delta, q: float, iters: int = 4, branches: int = 16):
+    """Per-plane upper-order-statistic quantile via count multisection.
 
     jnp.quantile sorts (~160 ms for 24 MP on TPU v5e); thresholding only needs the
-    value, so 30 fused compare-count passes (~3 ms) bisect to it instead. Differs
-    from numpy's linearly-interpolated quantile by at most the gap between two
-    adjacent order statistics — harmless under the detector's x1.5 multiplier
-    (DIVERGENCES.md)."""
+    value, so count-and-narrow passes find it instead. Each pass splits the
+    bracket at ``branches`` interior points and counts rank for all of them in ONE
+    fused read of ``delta`` (broadcast-compare + reduce — the VPU compares are
+    free next to the HBM read), narrowing the bracket by (branches+1)x: 4 passes
+    of 16-way resolve to ~1e-5 of the value range, where the old 30 binary passes
+    (30 full reads) were 2^30 overkill. Differs from numpy's linearly-interpolated
+    quantile by at most the gap between two adjacent order statistics — harmless
+    under the detector's x1.5 multiplier (DIVERGENCES.md)."""
     import jax
 
     n = delta.shape[-2] * delta.shape[-1]
     target = q * (n - 1)
     lo = jnp.min(delta, axis=(-2, -1))
     hi = jnp.max(delta, axis=(-2, -1))
+    fr = (jnp.arange(1, branches + 1, dtype=delta.dtype) / (branches + 1))
 
     def body(_, carry):
         lo, hi = carry
-        mid = (lo + hi) * 0.5
-        # rank of mid: count of samples <= mid, per plane
+        mids = lo[:, None] + (hi - lo)[:, None] * fr[None, :]  # (planes, B)
+        # rank of each mid: count of samples <= mid, per plane (one delta read)
         cnt = jnp.sum(
-            (delta <= mid[:, None, None]).astype(jnp.float32), axis=(-2, -1)
+            (delta[:, None] <= mids[:, :, None, None]).astype(jnp.float32),
+            axis=(-2, -1),
         )
-        keep_hi = (cnt - 1.0) >= target
-        return jnp.where(keep_hi, lo, mid), jnp.where(keep_hi, mid, hi)
+        ok = (cnt - 1.0) >= target  # mid already reaches the target rank
+        new_hi = jnp.min(jnp.where(ok, mids, hi[:, None]), axis=1)
+        new_lo = jnp.max(jnp.where(ok, lo[:, None], mids), axis=1)
+        return new_lo, new_hi
 
     _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     return hi

@@ -419,17 +419,15 @@ def median2(x: Array) -> Array:
     {self, E, S, SE} with np.pad-reflect(101) border = mean of the two middle values."""
     xp = pad_reflect101(x, 1)
     h, w = x.shape[-2], x.shape[-1]
-    views = jnp.stack(
-        [
-            xp[..., 1 : 1 + h, 1 : 1 + w],
-            xp[..., 1 : 1 + h, 2 : 2 + w],
-            xp[..., 2 : 2 + h, 1 : 1 + w],
-            xp[..., 2 : 2 + h, 2 : 2 + w],
-        ],
-        axis=0,
-    )
-    s = jnp.sort(views, axis=0)
-    return (s[1] + s[2]) * 0.5
+    a = xp[..., 1 : 1 + h, 1 : 1 + w]
+    b = xp[..., 1 : 1 + h, 2 : 2 + w]
+    c = xp[..., 2 : 2 + h, 1 : 1 + w]
+    d = xp[..., 2 : 2 + h, 2 : 2 + w]
+    # Middle two of four via a 6-op min/max network (no stacked buffer, no sort;
+    # the middle values — and their sum — are bit-identical to sorting's).
+    lo_ab, hi_ab = jnp.minimum(a, b), jnp.maximum(a, b)
+    lo_cd, hi_cd = jnp.minimum(c, d), jnp.maximum(c, d)
+    return (jnp.maximum(lo_ab, lo_cd) + jnp.minimum(hi_ab, hi_cd)) * 0.5
 
 
 def shift2d(x: Array, dy: int, dx: int, pad_fn=pad_reflect) -> Array:

@@ -240,3 +240,26 @@ def test_hdr_debayer_fuse_runs():
     assert lin.shape == (32, 32, 3)
     assert np.all(np.isfinite(np.asarray(lin)))
     assert int(np.asarray(counts).max()) <= 2
+
+
+def test_multisect_quantile_matches_order_statistics():
+    """The count-multisection quantile lands within one order-statistic gap of
+    numpy's quantile, per plane (the detector's documented tolerance)."""
+    from pysp_tpu.correct.bad_pixels import _bisect_quantile
+
+    rng = np.random.default_rng(3)
+    delta = jnp.asarray(
+        np.abs(rng.standard_normal((4, 64, 96))).astype(np.float32) ** 2
+    )
+    for q in (0.9, 0.99, 0.9999):
+        got = np.asarray(_bisect_quantile(delta, q))
+        flat = np.sort(np.asarray(delta).reshape(4, -1), axis=1)
+        n = flat.shape[1]
+        k = q * (n - 1)
+        lo_stat = flat[np.arange(4), int(np.floor(k))]
+        hi_stat = flat[np.arange(4), min(int(np.floor(k)) + 1, n - 1)]
+        # within the bracketing order statistics, plus the final bracket width
+        # (4 passes of 16-way narrow the initial range by 17^4)
+        slack = (flat[:, -1] - flat[:, 0]) / 17.0**4 + 1e-6
+        assert np.all(got >= lo_stat - slack), (q, got, lo_stat)
+        assert np.all(got <= hi_stat + slack), (q, got, hi_stat)
