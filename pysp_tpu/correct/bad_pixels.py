@@ -196,13 +196,100 @@ def masked_fill_inpaint(
     return jnp.where(mask, x, chan)
 
 
+def masked_fill_inpaint_sparse(
+    chan: Array,
+    mask: Array,
+    fill_iterations: int = 4,
+    smooth_iterations: int = 2,
+    max_sites: int = 32768,
+) -> Array:
+    """``masked_fill_inpaint`` on the compacted site list instead of full planes.
+
+    Hot-pixel masks flag ~1e-4 of photosites; the dense fill still sweeps every
+    plane 6x (~10.5 ms at 24 MP on v5e). Here the masked coordinates are
+    compacted once (``jnp.nonzero`` with a static ``max_sites`` bound), the
+    fill/smooth recurrences run on K-vectors (neighbor values gathered from the
+    plane for unmasked neighbors, looked up via one ``searchsorted`` for masked
+    ones), and the result scatters back in one pass. Accumulation order matches
+    the dense kernel neighbor-for-neighbor, so results are bit-identical for any
+    mask that fits ``max_sites``; callers must bound the true site count (see
+    repair_bad_pixels, which falls back to the dense path via lax.cond).
+    """
+    p, h, w = chan.shape
+    n = p * h * w
+    flat_chan = chan.reshape(-1)
+    (keys,) = jnp.nonzero(mask.reshape(-1), size=max_sites, fill_value=n)
+    valid_slot = keys < n
+    kk = jnp.where(valid_slot, keys, n)
+
+    py = (kk // w) % h
+    px = kk % w
+    pp = kk // (h * w)
+    # 4-neighborhood in dense accumulation order (up, down, left, right) with
+    # replicate-border clamping — identical to shift2d(..., pad_replicate)
+    nb_keys = jnp.stack(
+        [
+            pp * (h * w) + jnp.clip(py + dy, 0, h - 1) * w + jnp.clip(px + dx, 0, w - 1)
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ],
+        axis=1,
+    )  # (K, 4)
+    pos = jnp.minimum(jnp.searchsorted(kk, nb_keys), max_sites - 1)
+    nb_masked = jnp.take(kk, pos) == nb_keys
+    nb_chan = jnp.take(flat_chan, jnp.minimum(nb_keys, n - 1))
+
+    x0 = jnp.zeros((max_sites,), chan.dtype)
+    v0 = jnp.zeros((max_sites,), chan.dtype)
+
+    def fill_body(_, carry):
+        x, v = carry
+        # unmasked neighbors: value chan, validity 1 (dense x0 = chan * v0)
+        nb_x = jnp.where(nb_masked, jnp.take(x, pos), nb_chan)
+        nb_v = jnp.where(nb_masked, jnp.take(v, pos), 1.0)
+        xs = ((nb_x[:, 0] + nb_x[:, 1]) + nb_x[:, 2]) + nb_x[:, 3]
+        vs = ((nb_v[:, 0] + nb_v[:, 1]) + nb_v[:, 2]) + nb_v[:, 3]
+        filled = xs / jnp.maximum(vs, 1.0)
+        new_x = jnp.where(v > 0, x, filled)
+        new_v = jnp.minimum(v + vs, 1.0)
+        return (
+            jnp.where(valid_slot, new_x, 0.0),
+            jnp.where(valid_slot, new_v, 0.0),
+        )
+
+    x, v = jax.lax.fori_loop(0, fill_iterations, fill_body, (x0, v0))
+    plane_means = jnp.mean(chan, axis=(-2, -1))
+    x = jnp.where(v > 0, x, jnp.take(plane_means, jnp.minimum(pp, p - 1)))
+
+    def smooth_body(_, x):
+        nb_x = jnp.where(nb_masked, jnp.take(x, pos), nb_chan)
+        acc = (((nb_x[:, 0] + nb_x[:, 1]) + nb_x[:, 2]) + nb_x[:, 3]) * 0.25
+        return jnp.where(valid_slot, acc, 0.0)
+
+    x = jax.lax.fori_loop(0, smooth_iterations, smooth_body, x)
+
+    out = flat_chan.at[jnp.where(valid_slot, kk, n)].set(x, mode="drop")
+    return out.reshape(chan.shape)
+
+
 def repair_bad_pixels(frame: RawFrame, masks: Array, iterations: int = 4) -> RawFrame:
     """Heal masked photosites per plane; returns a new frame
     (raw_bad_pixel_corr.py:135-150, with mask-aware normalized-convolution fill
-    instead of NS inpainting). ``iterations`` bounds the fillable cluster radius."""
+    instead of NS inpainting). ``iterations`` bounds the fillable cluster radius.
+
+    Dispatch: the compacted sparse fill when the flagged-site count fits its
+    static bound (the overwhelmingly common case for hot-pixel masks), the dense
+    full-plane fill otherwise — bit-identical either way."""
     masks = jnp.asarray(masks)
     if masks.shape[0] != 4:
         return frame
     planes = bayer_to_planes(frame.bayer)
-    healed = masked_fill_inpaint(planes, masks, fill_iterations=iterations)
+    max_sites = 32768
+    healed = jax.lax.cond(
+        jnp.sum(masks) <= max_sites,
+        lambda pl: masked_fill_inpaint_sparse(
+            pl, masks, fill_iterations=iterations, max_sites=max_sites
+        ),
+        lambda pl: masked_fill_inpaint(pl, masks, fill_iterations=iterations),
+        planes,
+    )
     return frame.replace(bayer=planes_to_bayer(healed))

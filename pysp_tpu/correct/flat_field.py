@@ -20,25 +20,41 @@ def flat_frame_correction(
     frame: RawFrame, flat: RawFrame, clamp_high: bool = False
 ) -> RawFrame:
     """Per-plane flat division; returns a corrected frame (raw_correction.py:25-63)."""
+    import jax
+
     planes = bayer_to_planes(frame.bayer)
     flat_planes = bayer_to_planes(flat.bayer)
 
     mean_flat = jnp.mean(flat_planes, axis=(-2, -1), keepdims=True)
-    out = planes * mean_flat / flat_planes
 
-    finite = jnp.isfinite(out)
-    # All-infinite plane (completely black flat): leave the channel untouched
-    any_finite = jnp.any(finite, axis=(-2, -1), keepdims=True)
+    def _fast(planes, flat_planes, mean_flat):
+        # All-positive flat: the division is finite everywhere, so the
+        # inf-replacement machinery (3 extra full passes over the output)
+        # vanishes — identical results by construction.
+        out = jnp.maximum(planes * mean_flat / flat_planes, 0.0)
+        if clamp_high:
+            out = jnp.minimum(out, 1.0)
+        return out
 
-    neg_inf = jnp.where(finite, out, -jnp.inf)
-    max_finite = jnp.max(neg_inf, axis=(-2, -1), keepdims=True)
+    def _general(planes, flat_planes, mean_flat):
+        out = planes * mean_flat / flat_planes
 
-    out = jnp.where(finite, out, max_finite)  # inf -> channel max
-    out = jnp.maximum(out, 0.0)
-    if clamp_high:
-        out = jnp.minimum(out, 1.0)
-    out = jnp.where(any_finite, out, planes)
+        finite = jnp.isfinite(out)
+        # All-infinite plane (completely black flat): leave the channel untouched
+        any_finite = jnp.any(finite, axis=(-2, -1), keepdims=True)
 
+        neg_inf = jnp.where(finite, out, -jnp.inf)
+        max_finite = jnp.max(neg_inf, axis=(-2, -1), keepdims=True)
+
+        out = jnp.where(finite, out, max_finite)  # inf -> channel max
+        out = jnp.maximum(out, 0.0)
+        if clamp_high:
+            out = jnp.minimum(out, 1.0)
+        return jnp.where(any_finite, out, planes)
+
+    out = jax.lax.cond(
+        jnp.all(flat_planes > 0), _fast, _general, planes, flat_planes, mean_flat
+    )
     return frame.replace(bayer=planes_to_bayer(out))
 
 

@@ -263,3 +263,46 @@ def test_multisect_quantile_matches_order_statistics():
         slack = (flat[:, -1] - flat[:, 0]) / 17.0**4 + 1e-6
         assert np.all(got >= lo_stat - slack), (q, got, lo_stat)
         assert np.all(got <= hi_stat + slack), (q, got, hi_stat)
+
+
+def test_sparse_inpaint_matches_dense():
+    """The compacted-site fill is bit-identical to the dense masked fill on
+    isolated pixels, borders/corners, clusters, and unreachable blobs."""
+    from pysp_tpu.correct.bad_pixels import (
+        masked_fill_inpaint,
+        masked_fill_inpaint_sparse,
+    )
+
+    rng = np.random.default_rng(11)
+    chan = jnp.asarray(rng.random((4, 48, 64)).astype(np.float32))
+    mask = np.zeros((4, 48, 64), bool)
+    # isolated scatter incl. borders and corners
+    mask[(rng.random((4, 48, 64)) < 2e-3)] = True
+    mask[0, 0, 0] = mask[1, 47, 63] = mask[2, 0, 30] = mask[3, 20, 0] = True
+    # a 3x3 cluster and a blob too big for 4 fill passes to reach its core
+    mask[0, 10:13, 10:13] = True
+    mask[1, 20:33, 20:33] = True
+    mask = jnp.asarray(mask)
+
+    dense = np.asarray(masked_fill_inpaint(chan, mask))
+    sparse = np.asarray(masked_fill_inpaint_sparse(chan, mask, max_sites=1024))
+    np.testing.assert_array_equal(sparse, dense)
+
+
+def test_repair_dense_fallback_on_huge_mask():
+    """repair_bad_pixels falls back to the dense fill when the site count
+    exceeds the sparse bound — same healed result either way."""
+    from pysp_tpu.core.bayer import bayer_to_planes, planes_to_bayer
+    from pysp_tpu.correct.bad_pixels import masked_fill_inpaint, repair_bad_pixels
+
+    rng = np.random.default_rng(12)
+    bayer = rng.random((512, 512)).astype(np.float32)
+    frame = RawFrame.synthetic(bayer)
+    # > 32768 flagged sites forces the dense branch of the lax.cond
+    mask = jnp.asarray(rng.random((4, 256, 256)) < 0.6)
+    assert int(jnp.sum(mask)) > 32768
+
+    got = np.asarray(repair_bad_pixels(frame, mask).bayer)
+    planes = bayer_to_planes(frame.bayer)
+    want = np.asarray(planes_to_bayer(masked_fill_inpaint(planes, mask)))
+    np.testing.assert_array_equal(got, want)
