@@ -127,6 +127,13 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
             frame, cfg.postprocess_stages, cfg.clip_highlights, cfg.gamma_encode
         )
 
+    if srgb is None and cfg.quality == QualityDemosaic.Draft and frame.bayer.ndim == 2:
+        from ..demosaic.draft import develop_channels_draft
+
+        # Polyphase fused Draft: tail at quarter res, one full-res assembly
+        # (17% over the separable upsample at 24 MP; ~1-ulp association delta).
+        srgb = develop_channels_draft(frame, cfg.clip_highlights, cfg.gamma_encode)
+
     if srgb is None:
         r, g, b = _demosaic_channels(frame, cfg)
         mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)

@@ -143,6 +143,32 @@ def test_quality_ordering_on_edges():
     assert p_eag > p_draft, (p_eag, p_draft)
 
 
+def test_develop_draft_fused_matches_separable(scene):
+    """The polyphase fused Draft develop == separable upsample + full-res tail.
+
+    Same taps, one association-order difference in the bilinear accumulation
+    (~1 ulp); anything structural (phase mix-up, wrong tap, tail-order bug)
+    would land orders of magnitude below the gate."""
+    from pysp_tpu.colorimetry.transforms import cam_to_lin_srgb_matrix
+    from pysp_tpu.pipeline.develop import _color_tail_channels, _demosaic_channels
+
+    _, bayer = scene
+    frame = make_frame(bayer)
+    for clip, gamma in ((True, True), (False, False)):
+        cfg = DevelopConfig(
+            quality=QualityDemosaic.Draft, clip_highlights=clip, gamma_encode=gamma
+        )
+        got = np.asarray(develop(frame, cfg))
+        r, g, b = _demosaic_channels(frame, cfg)
+        mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+        want = np.stack(
+            [np.asarray(c) for c in _color_tail_channels(r, g, b, mat, clip, gamma)],
+            axis=-1,
+        )
+        p = psnr(got, want)
+        assert p > 100, (clip, gamma, p)
+
+
 def test_develop_jit_and_pattern_roundtrip(scene):
     _, bayer = scene
     cfg = DevelopConfig(quality=QualityDemosaic.Draft)
