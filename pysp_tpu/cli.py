@@ -198,6 +198,7 @@ def _info(args) -> int:
         get_opcode_3_block,
     )
 
+    from .io.arw import is_arw
     from .io.cr2 import is_cr2
     from .io.nef import is_nef
 
@@ -209,7 +210,11 @@ def _info(args) -> int:
 
         raw = _find_raw_ifd(tf)
     else:
-        out["format"] = "NEF" if is_nef(args.input) else "DNG/TIFF"
+        out["format"] = (
+            "NEF" if is_nef(args.input)
+            else "ARW" if is_arw(args.input)
+            else "DNG/TIFF"
+        )
         raw = tf.find_raw_ifd()
     model = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
     if model is not None:
@@ -231,6 +236,17 @@ def _info(args) -> int:
         out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
     except KeyError:
         out["as_shot_neutral"] = None
+    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW"):
+        # MakerNote formats carry WB outside the DNG EXIF tags; the format
+        # loaders extract it — decode (host-side) and report the frame's neutral
+        try:
+            from .io.raw_loader import load_raw
+
+            out["as_shot_neutral"] = np.asarray(
+                load_raw(args.input).wb_neutral
+            ).tolist()
+        except (ValueError, KeyError):
+            pass
     out["n_color_matrices"] = len(exif_get_color_mat_sources(tf))
     out["has_opcode_list_3"] = get_opcode_3_block(args.input) is not None
     print(json.dumps(out, indent=2))

@@ -206,11 +206,21 @@ def frame_from_parts(
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
         return load_raw_cr2(source)
+
+    from .arw import is_arw, load_raw_arw
+
+    if is_arw(source):
+        # Sony lossless (compression 7) falls through to rawpy below
+        try:
+            return load_raw_arw(source)
+        except ValueError as e:
+            if "unsupported compression" not in str(e):
+                raise
 
     try:
         return load_raw_dng(source)
@@ -226,7 +236,7 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF decoders and rawpy "
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW decoders and rawpy "
             "is not installed for other formats."
         ) from e
 

@@ -1,0 +1,81 @@
+"""CLI surface: ``develop``/``info`` driven in-process on synthetic fixtures.
+
+The reference has no CLI (README usage is import-only); this gates the rebuild's
+production entry point — argument wiring, format dispatch, PNG output, stats and
+metadata JSON — on the CPU backend the conftest forces.
+"""
+import json
+
+import numpy as np
+import pytest
+
+from pysp_tpu.cli import main
+from pysp_tpu.io.arw import write_synthetic_arw
+from pysp_tpu.io.tiff import write_synthetic_dng
+
+
+@pytest.fixture(scope="module")
+def dng_path(tmp_path_factory):
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    scene = 0.4 + 0.3 * np.sin(xx / 9) * np.cos(yy / 7)
+    u16 = np.clip(200 + scene * 3000 + rng.normal(0, 5, (h, w)), 0, 65535)
+    p = tmp_path_factory.mktemp("cli") / "scene.dng"
+    p.write_bytes(write_synthetic_dng(u16.astype(np.uint16)))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def arw_path(tmp_path_factory):
+    rng = np.random.default_rng(4)
+    base = np.repeat(rng.integers(200, 1700, (32, 2)), 32, axis=1)
+    st = np.clip(base + rng.integers(0, 100, (32, 64)), 0, 0x7FF).astype(np.uint16)
+    p = tmp_path_factory.mktemp("cli") / "scene.arw"
+    p.write_bytes(write_synthetic_arw(st))
+    return str(p)
+
+
+def _read_png(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+def test_cli_develop_dng(dng_path, tmp_path):
+    out = str(tmp_path / "out.png")
+    assert main(["develop", dng_path, "-o", out, "--quality", "fast"]) == 0
+    im = _read_png(out)
+    assert im.shape == (64, 96, 3) and im.dtype == np.uint8
+
+
+def test_cli_develop_draft_and_stats(dng_path, tmp_path, capsys):
+    out = str(tmp_path / "out.png")
+    rc = main(["develop", dng_path, "-o", out, "--quality", "draft", "--stats"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().err)
+    assert "sensor" in stats and "output" in stats
+
+
+def test_cli_develop_arw(arw_path, tmp_path):
+    out = str(tmp_path / "arw.png")
+    assert main(["develop", arw_path, "-o", out, "--quality", "draft"]) == 0
+    assert _read_png(out).shape == (32, 64, 3)
+
+
+def test_cli_info_dng(dng_path, capsys):
+    assert main(["info", dng_path]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["format"] == "DNG/TIFF"
+    assert meta["size"] == [64, 96]
+    assert np.isfinite(meta["ev"])
+
+
+def test_cli_info_arw_reports_makernote_wb(arw_path, capsys):
+    assert main(["info", arw_path]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["format"] == "ARW"
+    # WB comes from the Sony MakerNote (WB_RGGBLevels), not DNG EXIF tags
+    np.testing.assert_allclose(
+        meta["as_shot_neutral"], [0.5, 1.0, 1024.0 / 1433.0], atol=1e-5
+    )
