@@ -168,5 +168,34 @@ def main(full: bool = False) -> None:
         file=sys.stderr,
     )
 
+    # BASELINE config 5 proper: CA correction in the mosaic, Best develop, and
+    # the rectilinear warp, per frame across the burst — ONE jitted program
+    from pysp_tpu.correct.ca.models import Poly3CorrectionModel
+    from pysp_tpu.correct.ca.removal import remove_ca_from_raw
+    from pysp_tpu.pipeline.develop import develop as _develop
+    from pysp_tpu.warp.opcodes import apply_opcode_3_warp, encode_warp_rectilinear
+
+    ca_model = Poly3CorrectionModel(0.01)
+    warp_block = encode_warp_rectilinear(
+        [(1.005, -0.01, 0.002, 0.0, 0.0003, -0.0002)] * 3, (0.5, 0.5)
+    )
+
+    @jax.jit
+    def config5_step(fs):
+        def one(f):
+            f = remove_ca_from_raw(f, ca_model, ca_model)
+            img = _develop.__wrapped__(f, cfg_best)
+            return apply_opcode_3_warp(img, warp_block)
+
+        return jax.lax.map(one, fs)
+
+    dt5 = timed_loop(config5_step, burst, iters=4)
+    mps5 = burst_n * bh * bw / 1e6 / dt5
+    print(
+        f"[bench] config5 (x{burst_n} CA + Best + warp): {dt5*1e3:.1f} ms "
+        f"= {mps5:.1f} MP/s",
+        file=sys.stderr,
+    )
+
 if __name__ == "__main__":
     main(full="--full" in sys.argv[1:])

@@ -71,6 +71,23 @@ def main() -> None:
 
     t("median2 detect    ", lambda d: median2(d), planes)
 
+    # the composed program the bench scores (one jit: flat + detect + repair + Best)
+    from pysp_tpu.pipeline.develop import DevelopConfig
+    from pysp_tpu.pipeline.pipeline import PipelineConfig, develop_pipeline
+    from pysp_tpu.const import QualityDemosaic
+
+    best = DevelopConfig(quality=QualityDemosaic.Best)
+    for name, cfg in (
+        ("composed bare     ", PipelineConfig(develop=best)),
+        ("composed +flat    ", PipelineConfig(develop=best, flat_field=True)),
+        ("composed +repair  ", PipelineConfig(develop=best, repair_hot_pixels=True)),
+        (
+            "composed config3  ",
+            PipelineConfig(develop=best, flat_field=True, repair_hot_pixels=True),
+        ),
+    ):
+        t(name, lambda f, cfg=cfg: develop_pipeline(f, cfg, flat=flat), frame)
+
 
 if __name__ == "__main__":
     main()
