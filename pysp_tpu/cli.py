@@ -29,6 +29,12 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--temperature", type=float, default=None,
                      help="override WB by color temperature (Kelvin)")
     dev.add_argument("--repair-hot-pixels", action="store_true")
+    dev.add_argument("--ca", action="store_true",
+                     help="fit and remove lateral chromatic aberration "
+                          "(blind, in-mosaic Poly5 fit)")
+    dev.add_argument("--warp", action="store_true",
+                     help="apply the file's embedded DNG OpcodeList3 "
+                          "rectilinear warp to the output")
     dev.add_argument("--hdr", action="store_true",
                      help="fuse ALL inputs as an exposure bracket into one HDR output")
     dev.add_argument("--flat", help="flat-field raw (vignetting/dust correction)")
@@ -113,7 +119,7 @@ def _develop(args) -> int:
         return 0
 
     plain = not (args.flat or args.dark or args.temperature is not None
-                 or args.repair_hot_pixels or args.stats)
+                 or args.repair_hot_pixels or args.stats or args.ca or args.warp)
     if plain and len(args.inputs) > 1:
         # pipelined decode -> develop -> save (stream driver)
         import os
@@ -154,8 +160,35 @@ def _develop(args) -> int:
         else:
             frame = load_raw(src)
 
+        if args.ca:
+            from .correct.ca.removal import (
+                compute_ca_lens_models_for_raw,
+                remove_ca_from_raw,
+            )
+
+            try:
+                model_r, model_b = compute_ca_lens_models_for_raw(frame)
+            except ValueError as e:
+                # e.g. "Not enough tiles": featureless scene — leave untouched
+                print(f"{src}: CA fit failed ({e}); --ca skipped", file=sys.stderr)
+            else:
+                frame = remove_ca_from_raw(frame, model_r, model_b)
+
+        def _apply_warp(out_host, src=src):
+            if not args.warp:
+                return out_host
+            from .io.metadata import get_opcode_3_block
+            from .warp.opcodes import apply_opcode_3_warp
+
+            block = get_opcode_3_block(src)
+            if block is None:
+                print(f"{src}: no OpcodeList3 block; --warp skipped",
+                      file=sys.stderr)
+                return out_host
+            return np.asarray(apply_opcode_3_warp(out_host, block))
+
         if args.flat or args.dark:
-            out_host = np.asarray(develop_pipeline(frame, pcfg, **aux))
+            out_host = _apply_warp(np.asarray(develop_pipeline(frame, pcfg, **aux)))
             dt = time.time() - t0
             dst = _dst_for(args, src)
             save_image(dst, out_host)
@@ -177,7 +210,7 @@ def _develop(args) -> int:
         else:
             out = develop(frame, cfg)
 
-        out_host = np.asarray(out)
+        out_host = _apply_warp(np.asarray(out))
         dt = time.time() - t0
         dst = _dst_for(args, src)
         save_image(dst, out_host)

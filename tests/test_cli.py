@@ -63,6 +63,47 @@ def test_cli_develop_arw(arw_path, tmp_path):
     assert _read_png(out).shape == (32, 64, 3)
 
 
+def test_cli_develop_warp(tmp_path):
+    """--warp applies the embedded OpcodeList3; output differs from unwarped."""
+    from pysp_tpu.warp.opcodes import encode_warp_rectilinear
+
+    rng = np.random.default_rng(5)
+    u16 = np.clip(
+        200 + rng.random((64, 96)) * 3000, 0, 65535
+    ).astype(np.uint16)
+    block = encode_warp_rectilinear(
+        [(1.02, -0.05, 0.0, 0.0, 0.0, 0.0)] * 3, (0.5, 0.5)
+    )
+    src = str(tmp_path / "warped.dng")
+    with open(src, "wb") as f:
+        f.write(write_synthetic_dng(u16, opcode_list_3=block))
+
+    out_plain = str(tmp_path / "plain.png")
+    out_warp = str(tmp_path / "warp.png")
+    assert main(["develop", src, "-o", out_plain, "--quality", "draft"]) == 0
+    assert main(
+        ["develop", src, "-o", out_warp, "--quality", "draft", "--warp"]
+    ) == 0
+    a, b = _read_png(out_plain), _read_png(out_warp)
+    assert a.shape == b.shape and not np.array_equal(a, b)
+
+
+def test_cli_develop_warp_absent_is_noop(dng_path, tmp_path, capsys):
+    """--warp on a file without OpcodeList3 warns and still succeeds."""
+    out = str(tmp_path / "o.png")
+    assert main(["develop", dng_path, "-o", out, "--quality", "draft", "--warp"]) == 0
+    assert "no OpcodeList3" in capsys.readouterr().err
+
+
+def test_cli_develop_ca(dng_path, tmp_path, capsys):
+    """--ca runs the blind fit end-to-end; a featureless scene fails the fit
+    gracefully (warn + develop untouched) rather than crashing."""
+    out = str(tmp_path / "ca.png")
+    assert main(["develop", dng_path, "-o", out, "--quality", "draft", "--ca"]) == 0
+    assert _read_png(out).shape == (64, 96, 3)
+    assert "CA fit failed" in capsys.readouterr().err
+
+
 def test_cli_info_dng(dng_path, capsys):
     assert main(["info", dng_path]) == 0
     meta = json.loads(capsys.readouterr().out)
