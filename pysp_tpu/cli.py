@@ -139,23 +139,21 @@ def _develop(args) -> int:
         t0 = time.time()
 
         if args.temperature is not None:
-            # rebuild the frame with re-solved WB
-            from .colorimetry.wb import CameraWhiteBalanceController
-            from .io import tiff as T
-            from .io.metadata import (
-                exif_get_as_shot_neutral,
-                exif_get_color_mat_sources,
-            )
-            from .io.raw_loader import frame_from_parts, load_raw_dng
+            # rebuild the frame with re-solved WB (any supported format)
+            from .io.raw_loader import controller_for_source, frame_from_parts
 
-            frame = load_raw_dng(src)
-            tf = T.read_tiff(src)
-            ctrl = CameraWhiteBalanceController(
-                exif_get_color_mat_sources(tf), exif_get_as_shot_neutral(tf)
-            )
+            frame = load_raw(src)
+            ctrl = controller_for_source(src, frame)
             ctrl.update_by_temperature(args.temperature, allow_cross_blend=True)
+            # un-canonicalize: frame.bayer is RGGB-canonical, frame_from_parts
+            # re-canonicalizes from the source pattern orientation
+            from .core.bayer import reversible_transform_rggb
+
+            sensor = np.asarray(
+                reversible_transform_rggb(frame.bayer, frame.source_pattern)
+            )
             frame = frame_from_parts(
-                np.asarray(frame.bayer), frame.source_pattern, ctrl, float(frame.ev)
+                sensor, frame.source_pattern, ctrl, float(frame.ev)
             )
         else:
             frame = load_raw(src)

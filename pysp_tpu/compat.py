@@ -154,33 +154,12 @@ class RawBayerDataFromRaw(RawBayerData):
     """Decode a raw file into a Bayer container (image.py:199-307)."""
 
     def __init__(self, filename_or_data: Union[str, bytes]):
-        import numpy as _np
+        from .io.raw_loader import controller_for_source
 
         frame = load_raw(filename_or_data)
-
-        # Rebuild the WB controller from the file so later update_by_* calls work.
-        # Non-DNG formats (CR2/NEF) embed no EXIF color matrices; fall back to
-        # the matrices the loader already resolved (registry or Rec.709).
-        from .io import tiff as T
-        from .io.metadata import exif_get_as_shot_neutral, exif_get_color_mat_sources
-
-        tf = T.read_tiff(filename_or_data)
-        mats = exif_get_color_mat_sources(tf)
-        if mats:
-            neutral = exif_get_as_shot_neutral(tf)
-        else:
-            from .colorimetry.illuminants import StandardIlluminantSeries
-            from .colorimetry.spaces import MatXyzToCamera
-
-            mats = [
-                MatXyzToCamera(
-                    _np.asarray(frame.cam_mat, _np.float64),
-                    _np.asarray(frame.cam_white, _np.float64),
-                    StandardIlluminantSeries.SERIES_DAYLIGHT,
-                )
-            ]
-            neutral = _np.asarray(frame.wb_neutral, _np.float64)
-        cam_wb = CameraWhiteBalanceController(mats, neutral)
+        # Rebuild the WB controller from the file so later update_by_* calls
+        # work (EXIF matrices for DNG, loader-resolved fallback otherwise).
+        cam_wb = controller_for_source(filename_or_data, frame)
 
         super().__init__(
             reversible_transform_rggb(frame.bayer, frame.source_pattern),

@@ -205,6 +205,36 @@ def frame_from_parts(
     )
 
 
+def controller_for_source(source: Source, frame: RawFrame):
+    """Rebuild a WB controller for a decoded frame so ``update_by_*`` calls work.
+
+    DNGs carry their calibration matrices in EXIF (ColorMatrix1/2/3); MakerNote
+    formats (CR2/NEF/ARW) embed none, so the controller falls back to the single
+    matrix the loader already resolved (registry per model, or Rec.709) with the
+    frame's as-shot neutral — the same policy as compat.RawBayerDataFromRaw.
+    """
+    from . import tiff as T
+    from .metadata import exif_get_as_shot_neutral, exif_get_color_mat_sources
+
+    tf = T.read_tiff(source)
+    mats = exif_get_color_mat_sources(tf)
+    if mats:
+        neutral = exif_get_as_shot_neutral(tf)
+    else:
+        from ..colorimetry.illuminants import StandardIlluminantSeries
+        from ..colorimetry.spaces import MatXyzToCamera
+
+        mats = [
+            MatXyzToCamera(
+                np.asarray(frame.cam_mat, np.float64),
+                np.asarray(frame.cam_white, np.float64),
+                StandardIlluminantSeries.SERIES_DAYLIGHT,
+            )
+        ]
+        neutral = np.asarray(frame.wb_neutral, np.float64)
+    return CameraWhiteBalanceController(mats, neutral)
+
+
 def load_raw(source: Source) -> RawFrame:
     """Load any supported raw: built-in DNG/CR2/NEF/ARW decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2

@@ -104,6 +104,46 @@ def test_cli_develop_ca(dng_path, tmp_path, capsys):
     assert "CA fit failed" in capsys.readouterr().err
 
 
+def test_cli_temperature_works_on_arw(arw_path, tmp_path):
+    """--temperature rebuilds WB for MakerNote formats too (used to require a
+    DNG: the old path went through load_raw_dng + EXIF matrices only)."""
+    out = str(tmp_path / "t.png")
+    rc = main(
+        ["develop", arw_path, "-o", out, "--quality", "draft",
+         "--temperature", "5000"]
+    )
+    assert rc == 0
+    assert _read_png(out).shape == (32, 64, 3)
+
+
+def test_cli_temperature_bggr_orientation(tmp_path):
+    """--temperature on a BGGR file matches the RGGB result flipped (the old
+    path fed the canonical mosaic back through canonicalization, undoing it)."""
+    rng = np.random.default_rng(8)
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    scene = 0.4 + 0.3 * np.sin(xx / 9) * np.cos(yy / 7)
+    rggb = np.clip(300 + scene * 3000 + rng.normal(0, 5, (h, w)), 0, 4095)
+    rggb = rggb.astype(np.uint16)
+    bggr = rggb[::-1, ::-1]  # same canonical mosaic, BGGR orientation
+
+    p_rggb = str(tmp_path / "r.dng")
+    p_bggr = str(tmp_path / "b.dng")
+    with open(p_rggb, "wb") as f:
+        f.write(write_synthetic_dng(rggb))
+    with open(p_bggr, "wb") as f:
+        f.write(write_synthetic_dng(bggr, cfa_pattern=(2, 1, 1, 0)))
+
+    o_rggb = str(tmp_path / "r.png")
+    o_bggr = str(tmp_path / "b.png")
+    args = ["--quality", "draft", "--temperature", "5500"]
+    assert main(["develop", p_rggb, "-o", o_rggb] + args) == 0
+    assert main(["develop", p_bggr, "-o", o_bggr] + args) == 0
+    np.testing.assert_array_equal(
+        _read_png(o_bggr), _read_png(o_rggb)[::-1, ::-1]
+    )
+
+
 def test_cli_info_dng(dng_path, capsys):
     assert main(["info", dng_path]) == 0
     meta = json.loads(capsys.readouterr().out)
