@@ -35,6 +35,14 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--warp", action="store_true",
                      help="apply the file's embedded DNG OpcodeList3 "
                           "rectilinear warp to the output")
+    dev.add_argument("--unsharp", metavar="AMOUNT[:RADIUS]",
+                     help="Oklab-L unsharp mask on the linear image "
+                          "(default radius 2.0)")
+    dev.add_argument("--deconv", metavar="SIGMA[:ITERS]",
+                     help="Richardson-Lucy luma deconvolution on the linear "
+                          "image (default 20 iterations)")
+    dev.add_argument("--blur", type=float, metavar="SIGMA",
+                     help="Gaussian blur on the linear image")
     dev.add_argument("--hdr", action="store_true",
                      help="fuse ALL inputs as an exposure bracket into one HDR output")
     dev.add_argument("--flat", help="flat-field raw (vignetting/dust correction)")
@@ -78,11 +86,45 @@ def _develop(args) -> int:
         "fast": QualityDemosaic.Fast,
         "best": QualityDemosaic.Best,
     }[args.quality]
+    filtering = args.unsharp or args.deconv or args.blur is not None
     cfg = DevelopConfig(
         quality=quality,
         postprocess_stages=args.postprocess,
-        gamma_encode=not args.no_gamma,
+        # Filters operate on LINEAR sRGB; gamma is re-applied after them.
+        gamma_encode=not args.no_gamma and not filtering,
     )
+
+    def _split_spec(spec, default_second):
+        parts = str(spec).split(":")
+        return float(parts[0]), (
+            float(parts[1]) if len(parts) > 1 else default_second
+        )
+
+    def _apply_filters(out):
+        if not filtering:
+            return out
+        import jax.numpy as jnp
+
+        out = jnp.asarray(out)
+        if args.deconv:
+            from .filters.sharpen import gaussian_rt_deconvolution_yuv
+
+            sigma, iters = _split_spec(args.deconv, 20.0)
+            out = gaussian_rt_deconvolution_yuv(out, sigma, int(iters))
+        if args.unsharp:
+            from .filters.sharpen import unsharp_mask_lab
+
+            amount, radius = _split_spec(args.unsharp, 2.0)
+            out = unsharp_mask_lab(out, radius, amount)
+        if args.blur is not None:
+            from .filters.blur import blur_gaussian
+
+            out = blur_gaussian(out, args.blur)
+        if not args.no_gamma:
+            from .colorimetry.transforms import lin_srgb_to_srgb
+
+            out = lin_srgb_to_srgb(jnp.clip(out, 0.0, 1.0))
+        return out
 
     import os
 
@@ -110,7 +152,7 @@ def _develop(args) -> int:
         t0 = time.time()
         frames = [load_raw(src) for src in args.inputs]
         batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
-        out_host = np.asarray(develop_pipeline(batch, pcfg, **aux))
+        out_host = np.asarray(_apply_filters(develop_pipeline(batch, pcfg, **aux)))
         dst = args.output or os.path.splitext(args.inputs[0])[0] + "_hdr.png"
         save_image(dst, out_host)
         mp = out_host.shape[0] * out_host.shape[1] / 1e6
@@ -119,7 +161,8 @@ def _develop(args) -> int:
         return 0
 
     plain = not (args.flat or args.dark or args.temperature is not None
-                 or args.repair_hot_pixels or args.stats or args.ca or args.warp)
+                 or args.repair_hot_pixels or args.stats or args.ca or args.warp
+                 or filtering)
     if plain and len(args.inputs) > 1:
         # pipelined decode -> develop -> save (stream driver)
         import os
@@ -186,7 +229,9 @@ def _develop(args) -> int:
             return np.asarray(apply_opcode_3_warp(out_host, block))
 
         if args.flat or args.dark:
-            out_host = _apply_warp(np.asarray(develop_pipeline(frame, pcfg, **aux)))
+            out_host = _apply_warp(
+                np.asarray(_apply_filters(develop_pipeline(frame, pcfg, **aux)))
+            )
             dt = time.time() - t0
             dst = _dst_for(args, src)
             save_image(dst, out_host)
@@ -208,7 +253,7 @@ def _develop(args) -> int:
         else:
             out = develop(frame, cfg)
 
-        out_host = _apply_warp(np.asarray(out))
+        out_host = _apply_warp(np.asarray(_apply_filters(out)))
         dt = time.time() - t0
         dst = _dst_for(args, src)
         save_image(dst, out_host)

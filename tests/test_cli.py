@@ -144,6 +144,35 @@ def test_cli_temperature_bggr_orientation(tmp_path):
     )
 
 
+def test_cli_filters(dng_path, tmp_path):
+    """--unsharp/--deconv/--blur run on LINEAR output, then gamma re-applies:
+    outputs differ from the unfiltered develop but stay valid images."""
+    base = str(tmp_path / "base.png")
+    assert main(["develop", dng_path, "-o", base, "--quality", "draft"]) == 0
+    ref = _read_png(base)
+
+    for name, flags in (
+        ("unsharp", ["--unsharp", "1.5:2.0"]),
+        ("deconv", ["--deconv", "1.0:5"]),
+        ("blur", ["--blur", "1.2"]),
+    ):
+        out = str(tmp_path / f"{name}.png")
+        assert main(
+            ["develop", dng_path, "-o", out, "--quality", "draft"] + flags
+        ) == 0
+        im = _read_png(out)
+        assert im.shape == ref.shape
+        assert not np.array_equal(im, ref), name
+
+    # blur + no-gamma stays linear (darker midtones than the encoded blur)
+    out_lin = str(tmp_path / "blur_lin.png")
+    assert main(
+        ["develop", dng_path, "-o", out_lin, "--quality", "draft",
+         "--blur", "1.2", "--no-gamma"]
+    ) == 0
+    assert _read_png(out_lin).mean() < _read_png(str(tmp_path / "blur.png")).mean()
+
+
 def test_cli_info_dng(dng_path, capsys):
     assert main(["info", dng_path]) == 0
     meta = json.loads(capsys.readouterr().out)
