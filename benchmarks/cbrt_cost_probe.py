@@ -1,8 +1,19 @@
-"""Measure the AHD megakernel's cbrt cost: time one chunk with the real
-exp(log/3) cbrt vs an identity stand-in (wrong values, same shapes).
+"""Measure the AHD megakernel's LAB-transcendental cost.
 
-If the delta is large, a Halley-iteration cbrt is worth building. Run on TPU:
-    python -m benchmarks.cbrt_cost_probe
+Times one chunk three ways:
+  explog   — the shipping kernel (exp(log·p) cbrt + pow2.4)
+  newton   — multiply-only Halley-iteration inverse roots (bitcast seed); more
+             accurate (3.3e-7 vs 1.1e-6 max rel err) but measured SLOWER
+  identity — both replaced by identity (wrong values, same shapes): the upper
+             bound of what any cbrt/pow implementation could ever save.
+
+Result (v5e, 2026-08-17, 8.1MP chunk, tile 112):
+  explog 3.43 ms | newton 3.99 ms (-16%) | identity 3.24 ms
+→ exp/log are cheap on the VPU; ALL LAB transcendentals together are ~5.5% of
+the kernel. The Newton forms stay here as the documented negative result; the
+kernel keeps exp(log·p).
+
+Run on TPU: python -m benchmarks.cbrt_cost_probe
 """
 import time
 
@@ -10,8 +21,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.timing import timed_loop
-from pysp_tpu.ops import pallas_kernels as pk
+from benchmarks.cache import enable_compile_cache
+
+enable_compile_cache()
+
+from benchmarks.timing import timed_loop  # noqa: E402
+from pysp_tpu.ops import pallas_kernels as pk  # noqa: E402
+
+# Seed constants tuned by scan (3.3-3.4% max seed rel err over [1e-12, 10]).
+_K3 = 1419916000  # inverse cube root
+_K5 = 1277950000  # inverse fifth root
+
+
+def _seed(x, k, inv_p):
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    j = (jnp.float32(k) - i.astype(jnp.float32) * jnp.float32(inv_p)).astype(
+        jnp.int32
+    )
+    return jax.lax.bitcast_convert_type(j, jnp.float32)
+
+
+def newton_cbrt(x):
+    """x**(1/3): 2 Halley steps on the inverse root; max rel err 3.3e-7."""
+    r = _seed(x, _K3, 1.0 / 3.0)
+    for _ in range(2):
+        d = 1.0 - x * r * r * r
+        r = r * (1.0 + d * (jnp.float32(1 / 3) + d * jnp.float32(2 / 9)))
+    return x * r * r
+
+
+def newton_pow24(x):
+    """x**2.4 = (x^2·r^4)^2 with r = x**(-1/5); max rel err 1.5e-6."""
+    r = _seed(x, _K5, 1.0 / 5.0)
+    for _ in range(2):
+        r2 = r * r
+        d = 1.0 - x * r2 * r2 * r
+        r = r * (1.0 + d * (jnp.float32(0.2) + d * jnp.float32(3 / 25)))
+    r2 = r * r
+    t = (x * x) * r2 * r2
+    return t * t
 
 
 def run_case(name, planes, mat, wb):
@@ -19,12 +67,31 @@ def run_case(name, planes, mat, wb):
     dt = timed_loop(
         lambda ps: pk.ahd_mega_pallas(ps, mat, wb, False, 1, tile_h=112)[0],
         planes,
-        iters=8,
+        iters=32,
     )
     mp = 4 * planes[0].shape[0] * planes[0].shape[1] / 1e6
     print(f"{name}: {dt*1e3:7.2f} ms/chunk = {mp/dt:7.1f} MP/s "
           f"(wall {time.time()-t0:.0f}s)", flush=True)
     return dt
+
+
+def _patched_case(name, planes, mat, wb, cbrt_fn, pow24_fn):
+    from pysp_tpu.demosaic import ahd_band
+
+    orig_band = ahd_band.ahd_band_quads
+
+    def band(planes_, mat_, wb_, is_hdr, postprocess_stages=1,
+             cbrt_fn=None, pow24_fn=None, _c=cbrt_fn, _p=pow24_fn):
+        return orig_band(
+            planes_, mat_, wb_, is_hdr, postprocess_stages,
+            cbrt_fn=_c, pow24_fn=_p,
+        )
+
+    ahd_band.ahd_band_quads = band
+    try:
+        return run_case(name, planes, mat, wb)
+    finally:
+        ahd_band.ahd_band_quads = orig_band
 
 
 def main() -> None:
@@ -37,76 +104,20 @@ def main() -> None:
     mat = jnp.asarray(np.eye(3), jnp.float32)
     wb = jnp.asarray([2.0, 1.0, 1.5], jnp.float32)
 
-    base = run_case("explog-cbrt", planes, mat, wb)
+    explog = run_case("explog (shipping)", planes, mat, wb)
 
-    # Identity cbrt: patch the kernel's local _cbrt via the band core's cbrt_fn
-    orig = pk._ahd_mega_kernel
+    newt = _patched_case(
+        "newton (rejected)", planes, mat, wb,
+        cbrt_fn=newton_cbrt, pow24_fn=newton_pow24,
+    )
+    ident = _patched_case(
+        "identity (bound) ", planes, mat, wb,
+        cbrt_fn=lambda x: x, pow24_fn=lambda x: x,
+    )
 
-    import functools
-
-    def patched(*args, **kwargs):
-        from pysp_tpu.demosaic import ahd_band
-
-        orig_band = ahd_band.ahd_band_quads
-
-        def band_identity(planes_, mat_, wb_, is_hdr, postprocess_stages=1,
-                          cbrt_fn=None):
-            return orig_band(
-                planes_, mat_, wb_, is_hdr, postprocess_stages,
-                cbrt_fn=lambda x: x,
-            )
-
-        ahd_band.ahd_band_quads = band_identity
-        try:
-            return orig(*args, **kwargs)
-        finally:
-            ahd_band.ahd_band_quads = orig_band
-
-    pk._ahd_mega_kernel = patched
-    try:
-        ident = run_case("identity-cbrt", planes, mat, wb)
-    finally:
-        pk._ahd_mega_kernel = orig
-
-    print(f"cbrt share (upper bound): {(base - ident) / base * 100:.1f}%",
-          flush=True)
-
-    # Newton candidate: magic-constant seed (max rel err 3.2%) + 3 divide-form
-    # iterations -> 6e-8 max rel (f32 machine precision; derived numerically,
-    # constant 0x2a510000 scanned over x in [1e-8, 1e3]).
-    def newton_cbrt(x):
-        i = jax.lax.bitcast_convert_type(x, jnp.int32)
-        y = jax.lax.bitcast_convert_type(
-            jnp.int32(0x2A510000) + i // 3, jnp.float32
-        )
-        for _ in range(3):
-            y = (2.0 * y + x / (y * y)) * jnp.float32(1.0 / 3.0)
-        return y
-
-    def patched_newton(*args, **kwargs):
-        from pysp_tpu.demosaic import ahd_band
-
-        orig_band = ahd_band.ahd_band_quads
-
-        def band_newton(planes_, mat_, wb_, is_hdr, postprocess_stages=1,
-                        cbrt_fn=None):
-            return orig_band(
-                planes_, mat_, wb_, is_hdr, postprocess_stages,
-                cbrt_fn=newton_cbrt,
-            )
-
-        ahd_band.ahd_band_quads = band_newton
-        try:
-            return orig(*args, **kwargs)
-        finally:
-            ahd_band.ahd_band_quads = orig_band
-
-    pk._ahd_mega_kernel = patched_newton
-    try:
-        newt = run_case("newton3-cbrt", planes, mat, wb)
-    finally:
-        pk._ahd_mega_kernel = orig
-    print(f"newton3 vs explog: {(base - newt) / base * 100:+.1f}%", flush=True)
+    print(f"newton vs explog: {(explog - newt) / explog * 100:+.1f}%", flush=True)
+    print(f"transcendental share (vs identity): "
+          f"{(explog - ident) / explog * 100:.1f}%", flush=True)
 
 
 if __name__ == "__main__":

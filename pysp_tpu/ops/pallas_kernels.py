@@ -607,7 +607,10 @@ def _ahd_mega_kernel(
     scratch, sems = refs[12], refs[13]
 
     def _cbrt(x):
-        # Mosaic has no cbrt primitive; inputs are pre-clamped > 0
+        # Mosaic has no cbrt primitive; inputs are pre-clamped > 0.
+        # exp/log measured CHEAP on the VPU: a multiply-only Halley-iteration
+        # cbrt/pow replacement ran 16% SLOWER and all LAB transcendentals
+        # together are only ~5.5% of the kernel (benchmarks/cbrt_cost_probe.py).
         return jnp.exp(jnp.log(x) * jnp.float32(1.0 / 3.0))
 
     i = pl.program_id(0)
