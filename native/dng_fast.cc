@@ -14,6 +14,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC, no external deps)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -673,6 +674,174 @@ void dng_swap16(const uint8_t* in, uint16_t* out, int64_t count) {
       out[i] = static_cast<uint16_t>((in[2 * i] << 8) | in[2 * i + 1]);
     }
   });
+}
+
+// ---------------------------------------------------------------------------
+// Panasonic RW2 v4 codec (io/rw2.py fast path; the Python module documents the
+// bitstream: 0x4000-byte sections rotated at 0x2008, down-counting 17-bit
+// cursor, 14-pixel packets of two interleaved CFA channels).
+
+namespace {
+
+constexpr int kRw2Section = 0x4000;
+constexpr int kRw2Split = 0x2008;
+
+struct Rw2Bits {
+  const uint8_t* data;
+  int64_t len;
+  int64_t sec = 0;
+  int vbits = 0;
+  uint8_t buf[kRw2Section + 1] = {};
+
+  int get(int n) {
+    if (!vbits) {
+      for (int i = 0; i < kRw2Section; ++i) {
+        int64_t src = sec * kRw2Section + ((i - kRw2Split) & (kRw2Section - 1));
+        buf[i] = (src < len) ? data[src] : 0;
+      }
+      buf[kRw2Section] = 0;
+      ++sec;
+    }
+    vbits = (vbits - n) & 0x1FFFF;
+    int byte = vbits >> 3;
+    int word = buf[byte] | (buf[byte + 1] << 8);
+    return (word >> (vbits & 7)) & ((1 << n) - 1);
+  }
+};
+
+struct Rw2BitWriter {
+  std::vector<uint8_t> bufs;  // concatenated sections, reader layout
+  int vbits = 0;
+
+  void put(int n, int value) {
+    if (!vbits) bufs.resize(bufs.size() + kRw2Section, 0);
+    vbits = (vbits - n) & 0x1FFFF;
+    uint8_t* buf = bufs.data() + (bufs.size() - kRw2Section);
+    int byte = vbits >> 3;
+    int word = value << (vbits & 7);
+    buf[byte] |= word & 0xFF;
+    if (byte + 1 < kRw2Section) buf[byte + 1] |= (word >> 8) & 0xFF;
+  }
+};
+
+// decoder's predictor update for a nonzero delta code (keep identical to
+// io/rw2.py::_delta_step / _best_delta)
+inline int rw2_delta_base(int pred, int sh) {
+  int p = pred - (0x80 << sh);
+  if (p < 0 || sh == 4) p = pred & ((1 << sh) - 1);
+  return p;
+}
+
+inline void rw2_best_delta(int pred, int sh, int target, int* code, int* ach) {
+  int base = rw2_delta_base(pred, sh);
+  // round-half-even to match Python round()
+  double q = static_cast<double>(target - base) / (1 << sh);
+  int j8 = static_cast<int>(std::nearbyint(q));
+  if (j8 < 1) j8 = 1;
+  if (j8 > 255) j8 = 255;
+  int cand = base + (j8 << sh);
+  if (std::abs(pred - target) <= std::abs(cand - target)) {
+    *code = 0;
+    *ach = pred;
+  } else {
+    *code = j8;
+    *ach = cand;
+  }
+}
+
+}  // namespace
+
+int rw2_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
+               int32_t w) {
+  Rw2Bits bits{data, len};
+  int pred[2] = {0, 0}, nonz[2] = {0, 0}, sh = 0;
+  for (int32_t row = 0; row < h; ++row) {
+    for (int32_t col = 0; col < w; ++col) {
+      int i = col % 14;
+      if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+      if (i % 3 == 2) sh = 4 >> (3 - bits.get(2));
+      int j = i & 1;
+      if (nonz[j]) {
+        int d = bits.get(8);
+        if (d) {
+          pred[j] -= 0x80 << sh;
+          if (pred[j] < 0 || sh == 4) pred[j] &= (1 << sh) - 1;
+          pred[j] += d << sh;
+        }
+      } else {
+        nonz[j] = bits.get(8);
+        if (nonz[j] || i > 11) pred[j] = (nonz[j] << 4) | bits.get(4);
+      }
+      out[static_cast<int64_t>(row) * w + col] =
+          static_cast<uint16_t>(pred[col & 1]);
+    }
+  }
+  return 0;
+}
+
+// Fixed-rate greedy encoder, bit-identical to io/rw2.py::pana_v4_encode.
+// `achieved` (optional) receives the decoder-exact values. Returns the
+// payload size, or -1 on bad args / -2 if out_capacity is too small.
+int64_t rw2_encode(const uint16_t* values, int32_t h, int32_t w, uint8_t* out,
+                   int64_t out_capacity, uint16_t* achieved) {
+  if (w % 14) return -1;
+  Rw2BitWriter wr;
+  for (int32_t row = 0; row < h; ++row) {
+    for (int32_t g0 = 0; g0 < w; g0 += 14) {
+      const uint16_t* v = values + static_cast<int64_t>(row) * w + g0;
+      uint16_t* a =
+          achieved ? achieved + static_cast<int64_t>(row) * w + g0 : nullptr;
+      int pred[2] = {0, 0};
+      int sh = 0;
+      for (int i = 0; i < 2; ++i) {
+        int t = v[i];
+        if (t < 16) t = 16;
+        if (t > 0xFFF) t = 0xFFF;
+        wr.put(8, t >> 4);
+        wr.put(4, t & 0xF);
+        pred[i] = t;
+        if (a) a[i] = static_cast<uint16_t>(t);
+      }
+      for (int i = 2; i < 14; ++i) {
+        if (i % 3 == 2) {
+          static const int kSh[4] = {0, 1, 2, 4};
+          int best_err = -1, best_code = 0;
+          int upto = (i + 3 < 14) ? i + 3 : 14;
+          for (int code = 0; code < 4; ++code) {
+            int p[2] = {pred[0], pred[1]};
+            int err = 0;
+            for (int k = i; k < upto; ++k) {
+              int c, ach;
+              rw2_best_delta(p[k & 1], kSh[code], v[k], &c, &ach);
+              err += std::abs(ach - v[k]);
+              p[k & 1] = ach;
+            }
+            if (best_err < 0 || err < best_err) {
+              best_err = err;
+              best_code = code;
+            }
+          }
+          sh = kSh[best_code];
+          wr.put(2, best_code);
+        }
+        int c, ach;
+        rw2_best_delta(pred[i & 1], sh, v[i], &c, &ach);
+        wr.put(8, c);
+        pred[i & 1] = ach;
+        if (a) a[i] = static_cast<uint16_t>(ach);
+      }
+    }
+  }
+  int64_t total = static_cast<int64_t>(wr.bufs.size());
+  if (total > out_capacity) return -2;
+  // rotate each section back to file order: file[j] = buf[(j + split) % sec]
+  for (int64_t s = 0; s < total; s += kRw2Section) {
+    const uint8_t* buf = wr.bufs.data() + s;
+    uint8_t* dst = out + s;
+    for (int j = 0; j < kRw2Section; ++j)
+      dst[j] = buf[(j + kRw2Split) & (kRw2Section - 1)];
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -277,6 +277,7 @@ def _info(args) -> int:
     from .io.arw import is_arw
     from .io.cr2 import is_cr2
     from .io.nef import is_nef
+    from .io.rw2 import is_rw2
 
     tf = T.read_tiff(args.input)
     out = {}
@@ -289,6 +290,7 @@ def _info(args) -> int:
         out["format"] = (
             "NEF" if is_nef(args.input)
             else "ARW" if is_arw(args.input)
+            else "RW2" if is_rw2(args.input)
             else "DNG/TIFF"
         )
         raw = tf.find_raw_ifd()
@@ -312,7 +314,7 @@ def _info(args) -> int:
         out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
     except KeyError:
         out["as_shot_neutral"] = None
-    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW"):
+    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2"):
         # MakerNote formats carry WB outside the DNG EXIF tags; the format
         # loaders extract it — decode (host-side) and report the frame's neutral
         try:

@@ -94,6 +94,27 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16),
         ctypes.c_int64,
     ]
+    # RW2 entry points are absent in stale builds of the .so — degrade
+    try:
+        lib.rw2_decode.restype = ctypes.c_int
+        lib.rw2_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.rw2_encode.restype = ctypes.c_int64
+        lib.rw2_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -213,6 +234,54 @@ def nef_decode(
     if rc != 0:
         raise ValueError(f"NEF decode failed (code {rc})")
     return out
+
+
+def has_rw2() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rw2_decode")
+
+
+def rw2_decode(blob: bytes, height: int, width: int) -> np.ndarray:
+    """Decode a Panasonic v4 bitstream -> (H, W) uint16 (io/rw2.py fast path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rw2_decode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    out = np.empty((height, width), np.uint16)
+    rc = lib.rw2_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+    )
+    if rc != 0:
+        raise ValueError(f"RW2 decode failed (code {rc})")
+    return out
+
+
+def rw2_encode(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
+    """Encode (H, W) 12-bit values as a fixed-rate v4 payload; returns
+    (payload, achieved) bit-identical to io/rw2.py::pana_v4_encode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rw2_encode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    h, w = values.shape
+    flat = np.ascontiguousarray(values, np.uint16)
+    # fixed rate: 16 bytes per 14 pixels, whole 0x4000 sections
+    cap = ((h * w * 16) // 14 + 0x4000) // 0x4000 * 0x4000 + 0x4000
+    out = np.empty(cap, np.uint8)
+    achieved = np.empty((h, w), np.uint16)
+    n = lib.rw2_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+        achieved.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if n < 0:
+        raise ValueError(f"RW2 encode failed (code {n})")
+    return out[:n].tobytes(), achieved
 
 
 def nef_encode(img: np.ndarray, tree_idx: int, vpred: np.ndarray) -> bytes:

@@ -209,7 +209,7 @@ def controller_for_source(source: Source, frame: RawFrame):
     """Rebuild a WB controller for a decoded frame so ``update_by_*`` calls work.
 
     DNGs carry their calibration matrices in EXIF (ColorMatrix1/2/3); MakerNote
-    formats (CR2/NEF/ARW) embed none, so the controller falls back to the single
+    formats (CR2/NEF/ARW/RW2) embed none, so the controller falls back to the single
     matrix the loader already resolved (registry per model, or Rec.709) with the
     frame's as-shot neutral — the same policy as compat.RawBayerDataFromRaw.
     """
@@ -236,7 +236,7 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2 decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
@@ -252,6 +252,11 @@ def load_raw(source: Source) -> RawFrame:
             if "unsupported compression" not in str(e):
                 raise
 
+    from .rw2 import is_rw2, load_raw_rw2
+
+    if is_rw2(source):
+        return load_raw_rw2(source)
+
     try:
         return load_raw_dng(source)
     except (ValueError, KeyError, NotImplementedError):
@@ -266,7 +271,7 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW decoders and rawpy "
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2 decoders and rawpy "
             "is not installed for other formats."
         ) from e
 

@@ -332,7 +332,9 @@ def read_tiff(source: Union[str, bytes, BinaryIO]) -> TiffFile:
     else:
         raise ValueError("Not a TIFF file")
     (magic,) = struct.unpack_from(endian + "H", data, 2)
-    if magic != 42:
+    if magic not in (42, 0x55):
+        # 0x55: Panasonic RW2 — a TIFF in every other respect (rawspeed's
+        # TiffParser accepts the same alternate magic).
         raise ValueError("Bad TIFF magic")
 
     (off,) = struct.unpack_from(endian + "L", data, 4)
@@ -374,16 +376,18 @@ class TiffWriter:
         exif_tags: Optional[Dict[int, Tuple[int, Any]]] = None,
         strip_data: Optional[bytes] = None,
         strip_in_sub: bool = True,
+        magic: int = 42,
     ) -> bytes:
         """Assemble the file. Tag dicts map tag -> (dtype, values).
 
         If ``strip_data`` is given, StripOffsets/ByteCounts are patched into the raw
         IFD (the SubIFD when ``strip_in_sub``). RowsPerStrip must already be set by
-        the caller via ImageLength (single strip).
+        the caller via ImageLength (single strip). ``magic`` defaults to classic
+        TIFF (42); Panasonic RW2 fixtures pass 0x55.
         """
         # Layout: header(8) | IFD0 | SubIFD | ExifIFD | heap (out-of-line values + strip)
         out = BytesIO()
-        out.write(b"II*\x00" + struct.pack("<L", 8))
+        out.write(b"II" + struct.pack("<HL", magic, 8))
 
         def ifd_size(tags: Dict[int, Tuple[int, Any]]) -> int:
             return 2 + 12 * len(tags) + 4
