@@ -115,7 +115,10 @@ def main() -> None:
     from pysp_tpu.correct.bad_pixels import masked_fill_inpaint, masked_fill_inpaint_sparse
 
     t("dense fill 4+2      ", lambda c, m: masked_fill_inpaint(c, m), chan, mask)
-    t("sparse fill (today) ", lambda c, m: masked_fill_inpaint_sparse(c, m), chan, mask)
+    for k in (32768, 8192, 2048):
+        t(f"sparse fill K={k:5d}",
+          lambda c, m, k=k: masked_fill_inpaint_sparse(c, m, max_sites=k),
+          chan, mask)
 
 
 if __name__ == "__main__":

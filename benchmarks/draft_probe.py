@@ -71,6 +71,61 @@ def draft_phases_develop(frame, clip_highlights=True, gamma_encode=True):
     return jnp.stack(out, axis=-1).astype(jnp.float32)
 
 
+def draft_fused_assembly_develop(frame, clip_highlights=True, gamma_encode=True):
+    """Variant B: stack RGB per phase, then one two-level interleave of RGB
+    phase blocks — 3 full-res RGB materializations vs the per-channel
+    quad_to_bayer + final channel stack (~4)."""
+    import jax.numpy as jnp
+
+    from pysp_tpu.colorimetry.transforms import cam_to_lin_srgb_matrix
+    from pysp_tpu.core.bayer import bayer_to_rgbg
+    from pysp_tpu.ops.stencil import pad_reflect, pad_replicate
+    from pysp_tpu.pipeline.develop import _color_tail_channels
+
+    r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
+    wb = frame.wb_reciprocal()
+    g = (g1 + g2) * 0.5 * wb[1]
+    rp = pad_reflect(r, (0, 1, 0, 1))
+    r_c = (0.75 * rp[:-1, :-1] + 0.25 * rp[1:, 1:]) * wb[0]
+    bp = pad_reflect(b, (1, 0, 1, 0))
+    b_c = (0.75 * bp[1:, 1:] + 0.25 * bp[:-1, :-1]) * wb[2]
+
+    def up_phases(p):
+        pp = pad_replicate(p, 1)
+        c = pp[1:-1, 1:-1]
+        up_ = pp[:-2, 1:-1]
+        dn = pp[2:, 1:-1]
+        lf = pp[1:-1, :-2]
+        rt = pp[1:-1, 2:]
+        ul = pp[:-2, :-2]
+        ur = pp[:-2, 2:]
+        dl = pp[2:, :-2]
+        dr = pp[2:, 2:]
+        p00 = 0.5625 * c + 0.1875 * up_ + 0.1875 * lf + 0.0625 * ul
+        p01 = 0.5625 * c + 0.1875 * up_ + 0.1875 * rt + 0.0625 * ur
+        p10 = 0.5625 * c + 0.1875 * dn + 0.1875 * lf + 0.0625 * dl
+        p11 = 0.5625 * c + 0.1875 * dn + 0.1875 * rt + 0.0625 * dr
+        return ((p00, p01), (p10, p11))
+
+    rq, gq, bq = up_phases(r_c), up_phases(g), up_phases(b_c)
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+
+    h2, w2 = r_c.shape
+    rgbp = {}
+    for py in (0, 1):
+        for px in (0, 1):
+            ir, ig, ib = _color_tail_channels(
+                rq[py][px], gq[py][px], bq[py][px], mat,
+                clip_highlights, gamma_encode,
+            )
+            rgbp[(py, px)] = jnp.stack([ir, ig, ib], axis=-1)
+    even = jnp.stack([rgbp[(0, 0)], rgbp[(0, 1)]], axis=-2).reshape(h2, 2 * w2, 3)
+    odd = jnp.stack([rgbp[(1, 0)], rgbp[(1, 1)]], axis=-2).reshape(h2, 2 * w2, 3)
+    return jnp.stack([even, odd], axis=1).reshape(2 * h2, 2 * w2, 3).astype(
+        jnp.float32
+    )
+
+
 def main() -> None:
     import jax
 
@@ -126,6 +181,18 @@ def main() -> None:
         flush=True,
     )
     print(f"[draft] speedup x{dt_a/dt_b:.2f}", flush=True)
+
+    fn_fused = jax.jit(draft_fused_assembly_develop)
+    cfused = np.asarray(fn_fused(small))
+    eqf = np.array_equal(cfused, bchan)
+    print(f"[draft] fused-assembly identical to phases: {eqf}", flush=True)
+    t0 = time.time()
+    dt_c = timed_loop(fn_fused, frame, iters=16)
+    print(
+        f"[draft] fused:    {dt_c*1e3:.2f} ms = {mp/dt_c:.0f} MP/s "
+        f"[wall {time.time()-t0:.0f}s]",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -255,7 +255,12 @@ def load_raw(source: Source) -> RawFrame:
     from .rw2 import is_rw2, load_raw_rw2
 
     if is_rw2(source):
-        return load_raw_rw2(source)
+        # v5+ payloads (unsupported RawFormat) fall through to rawpy below
+        try:
+            return load_raw_rw2(source)
+        except ValueError as e:
+            if "unsupported RawFormat" not in str(e):
+                raise
 
     try:
         return load_raw_dng(source)

@@ -305,6 +305,11 @@ def load_raw_rw2(source: Source, color_mats=None) -> RawFrame:
 
     raw_off = _tag_int(ifd0, TAG_RAW_OFFSET)
     if raw_off is not None:
+        raw_format = _tag_int(ifd0, TAG_RAW_FORMAT, 4)
+        if raw_format > 4:
+            # 5 = packed uncompressed variant, 6/7 = newer compressors — not
+            # the v4 bitstream; decoding them as v4 would yield garbage
+            raise ValueError(f"RW2: unsupported RawFormat {raw_format}")
         from . import native
 
         if native.has_rw2():

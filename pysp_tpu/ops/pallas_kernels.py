@@ -746,3 +746,167 @@ def ahd_mega_pallas(
     if h2p != h2:
         outs = [o[:h2] for o in outs]
     return outs
+
+
+# --- hot-pixel heal (masked normalized-convolution fill) --------------------------------
+def _heal_kernel(
+    means_smem, x_hbm, m_hbm, out_ref, x_s, m_s, sems, *,
+    tile_h: int, width: int, plane_h: int,
+    fill_iterations: int, smooth_iterations: int,
+):
+    """All fill+smooth sweeps of correct.bad_pixels.masked_fill_inpaint in VMEM.
+
+    The 4 CFA planes arrive stacked vertically as one (4*plane_h, w) array;
+    per-iteration replicate borders (shift2d pad_replicate semantics) are
+    applied with global row/col `where` fixes, so plane boundaries never bleed
+    and halo rows only need to cover the iteration reach (6 <= _ALIGN).
+    Bit-identical to the XLA dense path: same ops, same accumulation order.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tile_h + 2 * _ALIGN
+    srcs = (x_hbm, m_hbm)
+    dsts = (x_s, m_s)
+
+    def band(j, slot, k):
+        return pltpu.make_async_copy(
+            srcs[k].at[pl.ds(j * tile_h, rows), :],
+            dsts[k].at[slot],
+            sems.at[slot * 2 + k],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(2):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(2):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(2):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    chan = x_s[slot]
+    m = m_s[slot]
+    wp = chan.shape[-1]
+
+    # global row/col coordinates of every buffer cell (row 0 = global row
+    # i*tile_h - _ALIGN; shifted by +plane_h to keep the modulo operand
+    # positive for the alignment pad rows)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0) + (
+        i * tile_h + plane_h - _ALIGN
+    )
+    rmod = grow % plane_h
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+    at_top = rmod == 0
+    at_bot = rmod == plane_h - 1
+    at_lf = gcol == 0
+    at_rt = gcol == width - 1
+
+    def up(a):  # value at (r-1, c), replicate at each plane's top row
+        return jnp.where(at_top, a, jnp.roll(a, 1, axis=0))
+
+    def dn(a):
+        return jnp.where(at_bot, a, jnp.roll(a, -1, axis=0))
+
+    def lf(a):
+        return jnp.where(at_lf, a, jnp.roll(a, 1, axis=1))
+
+    def rt(a):
+        return jnp.where(at_rt, a, jnp.roll(a, -1, axis=1))
+
+    def nb_sum(a):  # ((up + down) + left) + right, the dense path's order
+        return ((up(a) + dn(a)) + lf(a)) + rt(a)
+
+    v = 1.0 - m
+    x = chan * v
+    for _ in range(fill_iterations):
+        xs = nb_sum(x)
+        vs = nb_sum(v)
+        filled = xs / jnp.maximum(vs, 1.0)
+        x = jnp.where(v > 0, x, filled)
+        v = jnp.minimum(v + vs, 1.0)
+
+    # unreached sites seed from the plane mean (computed outside, one scalar
+    # per CFA plane)
+    p_idx = jnp.clip((grow - plane_h) // plane_h, 0, 3)
+    seed = jnp.where(
+        p_idx == 0,
+        means_smem[0],
+        jnp.where(
+            p_idx == 1, means_smem[1], jnp.where(p_idx == 2, means_smem[2], means_smem[3])
+        ),
+    )
+    x = jnp.where(v > 0, x, seed)
+
+    for _ in range(smooth_iterations):
+        acc = nb_sum(x) * 0.25
+        x = jnp.where(m > 0, acc, chan)
+
+    x = jnp.where(m > 0, x, chan)
+    out_ref[:] = x[_ALIGN : _ALIGN + tile_h, :width]
+
+
+def masked_fill_pallas(
+    chan: Array, mask: Array,
+    fill_iterations: int = 4, smooth_iterations: int = 2,
+    tile_h: int = 0, interpret: bool = False,
+):
+    """Banded heal: one HBM read + write for ALL fill/smooth sweeps.
+
+    ``chan``/``mask`` are (4, H/2, W/2) CFA planes. The XLA dense path makes
+    2 reads + 2 writes of the working set per sweep (measured 8.5 ms at 24 MP);
+    the sparse compacted path pays ~25 ns/element TPU gather costs. Here every
+    sweep happens on the VMEM band (iteration reach 6 <= the 8-row alignment
+    halo), so HBM traffic is one pass regardless of iteration count. Returns
+    None when no dividing tile fits (caller falls back).
+    """
+    if chan.ndim != 3 or chan.shape[0] != 4:
+        return None
+    if fill_iterations + smooth_iterations > _ALIGN:
+        return None
+    p4, h2, w2 = chan.shape
+    if h2 < _ALIGN:  # keeps the modulo row-coordinate operand positive
+        return None
+    H = 4 * h2
+    if tile_h == 0:
+        tile_h = _pick_tile(H, w2, live_values=18)
+    if tile_h == 0 or tile_h % 8:
+        return None
+
+    wp = _round_up(w2, _LANE)
+    stacked = jnp.pad(
+        chan.reshape(H, w2).astype(jnp.float32),
+        ((_ALIGN, _ALIGN), (0, wp - w2)),
+    )
+    mstacked = jnp.pad(
+        mask.reshape(H, w2).astype(jnp.float32),
+        ((_ALIGN, _ALIGN), (0, wp - w2)),
+    )
+    means = jnp.mean(chan, axis=(-2, -1)).astype(jnp.float32)
+
+    kernel = partial(
+        _heal_kernel, tile_h=tile_h, width=w2, plane_h=h2,
+        fill_iterations=fill_iterations, smooth_iterations=smooth_iterations,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(H // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec(
+            (tile_h, w2), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, w2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.VMEM((2, tile_h + 2 * _ALIGN, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(means, stacked, mstacked)
+    return out.reshape(4, h2, w2).astype(chan.dtype)

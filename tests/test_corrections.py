@@ -265,6 +265,26 @@ def test_multisect_quantile_matches_order_statistics():
         assert np.all(got <= hi_stat + slack), (q, got, hi_stat)
 
 
+def test_compact_mask_indices_matches_nonzero():
+    """The scatter-free compaction (block gather + MXU prefix sum) is
+    bit-identical to jnp.nonzero(size=K) on empty, sparse, dense, overflowing,
+    and non-block-aligned masks."""
+    from pysp_tpu.correct.bad_pixels import compact_mask_indices
+
+    rng = np.random.default_rng(5)
+    for n, k, density in (
+        (70_000, 512, 1e-4),
+        (1000, 16, 0.02),
+        (1024, 8, 0.5),  # overflow: more sites than slots
+        (333, 333, 0.0),  # empty, size not a block multiple
+        (512, 4, 1.0),  # all set
+    ):
+        m = jnp.asarray(rng.random(n) < density)
+        got = np.asarray(compact_mask_indices(m, k))
+        want = np.asarray(jnp.nonzero(m, size=k, fill_value=n)[0])
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n} k={k} d={density}")
+
+
 def test_sparse_inpaint_matches_dense():
     """The compacted-site fill is bit-identical to the dense masked fill on
     isolated pixels, borders/corners, clusters, and unreachable blobs."""
@@ -287,6 +307,29 @@ def test_sparse_inpaint_matches_dense():
     dense = np.asarray(masked_fill_inpaint(chan, mask))
     sparse = np.asarray(masked_fill_inpaint_sparse(chan, mask, max_sites=1024))
     np.testing.assert_array_equal(sparse, dense)
+
+
+def test_heal_pallas_interpret_matches_dense():
+    """The banded Pallas heal (interpret mode) is bit-identical to the dense
+    fill across plane corners, clusters, an unfillable blob, and band seams
+    (tile_h=8 forces many bands)."""
+    from pysp_tpu.correct.bad_pixels import masked_fill_inpaint
+    from pysp_tpu.ops.pallas_kernels import masked_fill_pallas
+
+    rng = np.random.default_rng(17)
+    h2, w2 = 16, 256
+    chan = jnp.asarray(rng.random((4, h2, w2)).astype(np.float32))
+    mask = np.zeros((4, h2, w2), bool)
+    mask[(rng.random((4, h2, w2)) < 3e-3)] = True
+    mask[0, 0, 0] = mask[1, h2 - 1, w2 - 1] = mask[2, 0, 30] = mask[3, 10, 0] = True
+    mask[0, 5:8, 10:13] = True
+    mask[1, 2:15, 20:33] = True  # too big to fill: seeds from the plane mean
+    mask = jnp.asarray(mask)
+
+    dense = np.asarray(masked_fill_inpaint(chan, mask))
+    pal = masked_fill_pallas(chan, mask, tile_h=8, interpret=True)
+    assert pal is not None
+    np.testing.assert_array_equal(np.asarray(pal), dense)
 
 
 def test_repair_dense_fallback_on_huge_mask():

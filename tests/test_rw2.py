@@ -150,6 +150,25 @@ def test_rw2_odd_borders_shift_cfa_phase():
     np.testing.assert_allclose(planes[2], 1000 / 4095, atol=1e-6)  # B
 
 
+def test_rw2_rejects_newer_raw_formats():
+    """RawFormat > 4 (v5 packed / v6/v7 compressed) must raise, not decode
+    garbage through the v4 codec; load_raw lets it fall through to rawpy."""
+    data, _ = write_synthetic_rw2(_smooth12())
+    # patch the RawFormat tag value (SHORT, inline) from 4 to 6
+    import struct
+
+    idx = data.find(struct.pack("<HHL", 0x2D, 3, 1))
+    assert idx > 0
+    patched = data[: idx + 8] + struct.pack("<H", 6) + data[idx + 10 :]
+    assert is_rw2(patched)
+    with pytest.raises(ValueError, match="unsupported RawFormat"):
+        load_raw_rw2(patched)
+    from pysp_tpu.io.raw_loader import load_raw
+
+    with pytest.raises(ValueError, match="rawpy"):
+        load_raw(patched)  # falls through; rawpy absent here
+
+
 def test_rw2_uncompressed_variant():
     vals = _smooth12()
     data, achieved = write_synthetic_rw2(vals, uncompressed=True)
