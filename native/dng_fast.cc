@@ -844,4 +844,147 @@ int64_t rw2_encode(const uint16_t* values, int32_t h, int32_t w, uint8_t* out,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Olympus ORF codec (io/orf.py fast path; the Python module documents the
+// format: MSB-first stream after a 7-byte skip, 3-bit sign+low field, unary
+// magnitude class with a 12-zeros escape, per-parity carry chains, W/N/NW
+// gradient predictor over distance-2 neighbors).
+
+namespace {
+
+struct OrfBits {
+  const uint8_t* data;
+  int64_t len;
+  int64_t pos = 0;  // bit position
+
+  int get(int n) {
+    int out = 0;
+    for (int i = 0; i < n; ++i) {
+      int64_t byte = pos >> 3;
+      int bit = (byte < len) ? (data[byte] >> (7 - (pos & 7))) & 1 : 0;
+      out = (out << 1) | bit;
+      ++pos;
+    }
+    return out;
+  }
+
+  int zeros_then_one() {
+    for (int k = 0; k < 12; ++k)
+      if (get(1)) return k;
+    return 12;
+  }
+};
+
+struct OrfBitWriter {
+  std::vector<uint8_t> bytes;
+  int64_t pos = 0;
+
+  void put(int n, int value) {
+    for (int i = n - 1; i >= 0; --i) {
+      if ((pos >> 3) >= static_cast<int64_t>(bytes.size())) bytes.push_back(0);
+      if ((value >> i) & 1) bytes[pos >> 3] |= 0x80 >> (pos & 7);
+      ++pos;
+    }
+  }
+};
+
+inline int orf_pred(const uint16_t* raw, int64_t w, int row, int col) {
+  if (row < 2 && col < 2) return 0;
+  if (row < 2) return raw[static_cast<int64_t>(row) * w + col - 2];
+  if (col < 2) return raw[static_cast<int64_t>(row - 2) * w + col];
+  int wv = raw[static_cast<int64_t>(row) * w + col - 2];
+  int n = raw[static_cast<int64_t>(row - 2) * w + col];
+  int nw = raw[static_cast<int64_t>(row - 2) * w + col - 2];
+  if ((wv < nw && nw < n) || (n < nw && nw < wv)) {
+    if (std::abs(wv - nw) > 32 || std::abs(n - nw) > 32) return wv + n - nw;
+    return (wv + n) >> 1;
+  }
+  return std::abs(wv - nw) > std::abs(n - nw) ? wv : n;
+}
+
+inline int orf_nbits(const int* carry) {
+  int i = 2 * (carry[2] < 3);
+  int nbits = 2 + i;
+  while (((carry[0] & 0xFFFF) >> (nbits + i)) && nbits < 16) ++nbits;
+  return nbits;
+}
+
+}  // namespace
+
+int orf_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
+               int32_t w) {
+  if (len < 7) return -1;
+  OrfBits bits{data + 7, len - 7};
+  for (int32_t row = 0; row < h; ++row) {
+    int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+    for (int32_t col = 0; col < w; ++col) {
+      int* carry = acarry[col & 1];
+      int nbits = orf_nbits(carry);
+      int field = bits.get(3);
+      int low = field & 3;
+      int sign = (field & 4) ? -1 : 0;
+      int high = bits.zeros_then_one();
+      if (high == 12) high = bits.get(16 - nbits) >> 1;
+      carry[0] = (high << nbits) | bits.get(nbits);
+      int diff = (carry[0] ^ sign) + carry[1];
+      carry[1] = (diff * 3 + carry[1]) >> 5;
+      carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+      int pred = orf_pred(out, w, row, col);
+      out[static_cast<int64_t>(row) * w + col] =
+          static_cast<uint16_t>(pred + ((diff << 2) | low));
+    }
+  }
+  return 0;
+}
+
+// Lossless encoder, bit-identical to io/orf.py::olympus_encode. Returns the
+// payload size (including the 7 leading zero bytes), -1 on oversized
+// residuals, -2 if out_capacity is too small.
+int64_t orf_encode(const uint16_t* values, int32_t h, int32_t w, uint8_t* out,
+                   int64_t out_capacity) {
+  OrfBitWriter wr;
+  std::vector<uint16_t> raw(static_cast<int64_t>(h) * w, 0);
+  for (int32_t row = 0; row < h; ++row) {
+    int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+    for (int32_t col = 0; col < w; ++col) {
+      int* carry = acarry[col & 1];
+      int nbits = orf_nbits(carry);
+      int pred = orf_pred(raw.data(), w, row, col);
+      int r = static_cast<int>(values[static_cast<int64_t>(row) * w + col]) - pred;
+      int low = r & 3;
+      int diff = r >> 2;
+      int d = diff - carry[1];
+      int sign, c0;
+      if (d >= 0) {
+        sign = 0;
+        c0 = d;
+      } else {
+        sign = -1;
+        c0 = -d - 1;
+      }
+      if (c0 >= (1 << 15)) return -1;
+      wr.put(3, (sign ? 4 : 0) | low);
+      int high = c0 >> nbits;
+      if (high < 12) {
+        wr.put(high + 1, 1);
+      } else {
+        wr.put(12, 0);
+        wr.put(16 - nbits, high << 1);
+      }
+      wr.put(nbits, c0 & ((1 << nbits) - 1));
+      carry[0] = c0;
+      int dd = (c0 ^ sign) + carry[1];
+      carry[1] = (dd * 3 + carry[1]) >> 5;
+      carry[2] = c0 > 16 ? 0 : carry[2] + 1;
+      raw[static_cast<int64_t>(row) * w + col] =
+          static_cast<uint16_t>(pred + ((dd << 2) | low));
+    }
+  }
+  int64_t total = 7 + static_cast<int64_t>(wr.bytes.size());
+  if (total > out_capacity) return -2;
+  std::memset(out, 0, 7);
+  std::memcpy(out + 7, wr.bytes.data(), wr.bytes.size());
+  return total;
+}
+
 }  // extern "C"

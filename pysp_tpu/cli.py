@@ -277,6 +277,7 @@ def _info(args) -> int:
     from .io.arw import is_arw
     from .io.cr2 import is_cr2
     from .io.nef import is_nef
+    from .io.orf import is_orf
     from .io.rw2 import is_rw2
 
     tf = T.read_tiff(args.input)
@@ -291,6 +292,7 @@ def _info(args) -> int:
             "NEF" if is_nef(args.input)
             else "ARW" if is_arw(args.input)
             else "RW2" if is_rw2(args.input)
+            else "ORF" if is_orf(args.input)
             else "DNG/TIFF"
         )
         raw = tf.find_raw_ifd()
@@ -314,7 +316,7 @@ def _info(args) -> int:
         out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
     except KeyError:
         out["as_shot_neutral"] = None
-    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2"):
+    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2", "ORF"):
         # MakerNote formats carry WB outside the DNG EXIF tags; the format
         # loaders extract it — decode (host-side) and report the frame's neutral
         try:

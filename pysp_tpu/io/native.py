@@ -113,6 +113,22 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint16),
         ]
+        lib.orf_decode.restype = ctypes.c_int
+        lib.orf_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.orf_encode.restype = ctypes.c_int64
+        lib.orf_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
     except AttributeError:
         pass
     _LIB = lib
@@ -282,6 +298,51 @@ def rw2_encode(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
     if n < 0:
         raise ValueError(f"RW2 encode failed (code {n})")
     return out[:n].tobytes(), achieved
+
+
+def has_orf() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "orf_decode")
+
+
+def orf_decode(blob: bytes, height: int, width: int) -> np.ndarray:
+    """Decode an Olympus compressed strip -> (H, W) uint16 (io/orf.py fast path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "orf_decode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    out = np.empty((height, width), np.uint16)
+    rc = lib.orf_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+    )
+    if rc != 0:
+        raise ValueError(f"ORF decode failed (code {rc})")
+    return out
+
+
+def orf_encode(values: np.ndarray) -> bytes:
+    """Encode (H, W) uint16 as an Olympus compressed strip, bit-identical to
+    io/orf.py::olympus_encode."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "orf_encode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    h, w = values.shape
+    flat = np.ascontiguousarray(values, np.uint16)
+    cap = flat.size * 5 + 4096  # worst case ~34 bits/site
+    out = np.empty(cap, np.uint8)
+    n = lib.orf_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h,
+        w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"ORF encode failed (code {n})")
+    return out[:n].tobytes()
 
 
 def nef_encode(img: np.ndarray, tree_idx: int, vpred: np.ndarray) -> bytes:

@@ -236,7 +236,7 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2 decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
@@ -251,6 +251,11 @@ def load_raw(source: Source) -> RawFrame:
         except ValueError as e:
             if "unsupported compression" not in str(e):
                 raise
+
+    from .orf import is_orf, load_raw_orf
+
+    if is_orf(source):
+        return load_raw_orf(source)
 
     from .rw2 import is_rw2, load_raw_rw2
 
@@ -276,7 +281,7 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2 decoders and rawpy "
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF decoders and rawpy "
             "is not installed for other formats."
         ) from e
 

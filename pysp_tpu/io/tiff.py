@@ -332,9 +332,9 @@ def read_tiff(source: Union[str, bytes, BinaryIO]) -> TiffFile:
     else:
         raise ValueError("Not a TIFF file")
     (magic,) = struct.unpack_from(endian + "H", data, 2)
-    if magic not in (42, 0x55):
-        # 0x55: Panasonic RW2 — a TIFF in every other respect (rawspeed's
-        # TiffParser accepts the same alternate magic).
+    if magic not in (42, 0x55, 0x4F52, 0x5352):
+        # alternates: 0x55 Panasonic RW2, 0x4F52/0x5352 Olympus ORF ("RO"/"SR")
+        # — TIFFs in every other respect (rawspeed's TiffParser equally).
         raise ValueError("Bad TIFF magic")
 
     (off,) = struct.unpack_from(endian + "L", data, 4)
