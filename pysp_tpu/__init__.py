@@ -36,8 +36,11 @@ from .pipeline.develop import DevelopConfig, develop, develop_burst, develop_to_
 from .pipeline.pipeline import PipelineConfig, develop_pipeline
 from .pipeline.stream import develop_files, develop_stream
 from .io.raw_loader import frame_from_parts, load_raw, load_raw_dng
+from .io.arw import load_raw_arw
 from .io.cr2 import load_raw_cr2
 from .io.nef import load_raw_nef
+from .io.orf import load_raw_orf
+from .io.rw2 import load_raw_rw2
 from .io.camera_matrices import register_camera_matrices
 from .io.metadata import (
     compute_ev,
@@ -119,9 +122,12 @@ __all__ = [
     "demosaic_draft",
     "demosaic_eag",
     "load_raw",
+    "load_raw_arw",
     "load_raw_cr2",
     "load_raw_dng",
     "load_raw_nef",
+    "load_raw_orf",
+    "load_raw_rw2",
     "register_camera_matrices",
     "frame_from_parts",
     "bayer_normalize",

@@ -196,3 +196,26 @@ def test_raw_bayer_from_cr2_and_nef():
         dev = raw.demosaic(QualityDemosaic.Fast)
         img = np.asarray(dev.to_lin_srgb())
         assert img.shape == (64, 96, 3) and np.isfinite(img).all()
+
+
+def test_class_api_on_rw2_and_orf():
+    """The reference-compat class API (image.py:199-307) opens the newest
+    built-in formats too: full WB-controller rebuild + demosaic."""
+    from pysp_tpu.compat import RawBayerDataFromRaw
+    from pysp_tpu.io.orf import write_synthetic_orf
+    from pysp_tpu.io.rw2 import write_synthetic_rw2
+
+    rng = np.random.default_rng(13)
+    vals = np.clip(
+        600 + np.cumsum(rng.integers(-20, 21, (32, 56)), axis=1), 30, 4000
+    ).astype(np.uint16)
+    rw2, _ = write_synthetic_rw2(vals)
+    orf = write_synthetic_orf(vals)
+    for data in (rw2, orf):
+        raw = RawBayerDataFromRaw(data)
+        assert np.asarray(raw.sensor_scaled).shape == (32, 56)
+        dev = raw.demosaic(QualityDemosaic.Fast)
+        img = np.asarray(dev.to_lin_srgb())
+        assert img.shape == (32, 56, 3) and np.isfinite(img).all()
+        # update_by_* works through the rebuilt controller
+        raw.cam_wb.update_by_temperature(5000.0, allow_cross_blend=True)
