@@ -49,27 +49,41 @@ def run_case(case: str) -> None:
         [(1.005, -0.01, 0.002, 0.0, 0.0003, -0.0002)] * 3, (0.5, 0.5)
     )
 
-    def one(f, do_ca, do_dev, do_warp, c=cfg):
+    def one(f, do_ca, do_dev, do_warp, c=cfg, interp="lanczos4"):
         if do_ca:
             f = remove_ca_from_raw(f, ca_model, ca_model)
         if not do_dev:
             return f.bayer
         img = _develop.__wrapped__(f, c)
         if do_warp:
-            img = apply_opcode_3_warp(img, warp_block)
+            img = apply_opcode_3_warp(img, warp_block, interpolation=interp)
         return img
+
+    def warp_only(f):  # no develop in the program at all
+        img = jnp.stack([f.bayer, f.bayer, f.bayer], axis=-1)
+        return apply_opcode_3_warp(img, warp_block)
 
     cases = {
         "ca": lambda f: one(f, True, False, False),
-        "warp": lambda f: one(f, False, True, True),
+        "warp_only": warp_only,
         "ca_dev": lambda f: one(f, True, True, False),
         "dev_warp": lambda f: one(f, False, True, True),
+        "dev_warp_bilinear": lambda f: one(f, False, True, True, interp="bilinear"),
         "full": lambda f: one(f, True, True, True),
         "full_xla": lambda f: one(f, True, True, True, cfg_xla),
     }
-    fn = cases[case]
-    step = jax.jit(lambda fs: jax.lax.map(fn, fs))
-    dt = timed_loop(step, burst, iters=4)
+    fn = cases[case.removeprefix("one_").removeprefix("map2_")]
+    if case.startswith("one_"):
+        frame0 = jax.tree_util.tree_map(lambda x: x[0], burst)
+        step = jax.jit(fn)
+        dt = timed_loop(step, frame0, iters=4)
+    elif case.startswith("map2_"):
+        b2 = jax.tree_util.tree_map(lambda x: x[:2], burst)
+        step = jax.jit(lambda fs: jax.lax.map(fn, fs))
+        dt = timed_loop(step, b2, iters=4)
+    else:
+        step = jax.jit(lambda fs: jax.lax.map(fn, fs))
+        dt = timed_loop(step, burst, iters=4)
     print(f"[c5i] {case}: {dt*1e3:.1f} ms", flush=True)
 
 
@@ -77,7 +91,9 @@ def main() -> None:
     if len(sys.argv) > 1:
         run_case(sys.argv[1])
         return
-    for case in ("ca", "ca_dev", "dev_warp", "full_xla", "full"):
+    default = ("one_dev_warp", "map2_dev_warp", "warp_only",
+               "dev_warp_bilinear", "full")
+    for case in (sys.argv[2:] or default):
         r = subprocess.run(
             [sys.executable, "-m", "benchmarks.config5_isolate", case],
             capture_output=True,

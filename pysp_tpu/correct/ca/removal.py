@@ -59,13 +59,51 @@ def compute_ca_lens_models_for_raw(
     return init_model_r, init_model_b
 
 
-def _remap_by_offsets(channel: Array, coords: Array) -> Array:
+def _remap_by_offsets(
+    channel: Array, coords: Array, bound_px: Optional[int] = None
+) -> Array:
     """cv2.remap with the reference's center-relative coordinate plumbing
-    (ca_removal.py:100-128): coords[..., 0] is dy, [..., 1] is dx."""
+    (ca_removal.py:100-128): coords[..., 0] is dy, [..., 1] is dx.
+
+    With ``bound_px`` (a static displacement bound in pixels) the gather-free
+    bounded remap runs — bit-identical, and ~100x faster on TPU where gathers
+    cost ~10-25 ns/element (BASELINE.md)."""
     h, w = channel.shape[-2], channel.shape[-1]
     map_x = jnp.clip(coords[..., 1] + (w - 1) / 2.0, 0, w - 1)
     map_y = jnp.clip(coords[..., 0] + (h - 1) / 2.0, 0, h - 1)
+    if bound_px is not None:
+        from ...ops.resample import remap_bilinear_bounded
+
+        b = (-bound_px, bound_px)
+        return remap_bilinear_bounded(channel, map_x, map_y, b, b)
     return remap_bilinear(channel, map_x, map_y)
+
+
+def _model_bound_px(model, h: int, w: int, cap: int = 12) -> Optional[int]:
+    """Static per-axis displacement bound of a radial model's remap, in px.
+
+    |dy| = |y|·|f(r)/r - 1| <= r_corner·max_r|f(r) - r| for both the forward
+    and Newton-inverted maps; evaluated on a dense host radius sweep at trace
+    time (model coefficients are host floats). None when the model misbehaves
+    or the bound exceeds ``cap`` (select-chain cost grows with it)."""
+    try:
+        import jax
+
+        # the models' radial maps are jnp code; under a jit trace even
+        # concrete-input ops become tracers, so force compile-time eval
+        with jax.ensure_compile_time_eval():
+            rs = jnp.asarray(np.linspace(1e-4, 1.0, 4096), jnp.float32)
+            fwd = np.asarray(model.get_distorted(rs), np.float64)
+            inv = np.asarray(model.estimate_undistorted(rs), np.float64)
+    except Exception:
+        return None
+    rs64 = np.asarray(rs, np.float64)
+    dev = max(np.abs(fwd - rs64).max(), np.abs(inv - rs64).max())
+    if not np.isfinite(dev):
+        return None
+    r_corner = float(np.hypot((h - 1) / 2.0, (w - 1) / 2.0))
+    bound = int(np.ceil(dev * r_corner)) + 2
+    return bound if bound <= cap else None
 
 
 def remove_ca_from_raw(
@@ -90,25 +128,28 @@ def remove_ca_from_raw(
     g_resampled = resample_g_to_full_resolution(g1, g2)
     wb = frame.wb_reciprocal()
 
+    fh, fw = g_resampled.shape[-2], g_resampled.shape[-1]
     if lens_model_r is not None:
+        bound_r = _model_bound_px(lens_model_r, fh, fw)
         coords_g_at_r = lens_model_r.get_undistorted_coordinates(g_resampled)
-        g_at_r = _remap_by_offsets(g_resampled, coords_g_at_r)
+        g_at_r = _remap_by_offsets(g_resampled, coords_g_at_r, bound_r)
 
         r_resampled = resample_r(r * wb[0], g_at_r)
 
         coords_r_at_g = lens_model_r.get_distorted_coordinates(r_resampled)
-        r_at_g = _remap_by_offsets(r_resampled, coords_r_at_g)
+        r_at_g = _remap_by_offsets(r_resampled, coords_r_at_g, bound_r)
 
         r = bayer_to_rgbg(r_at_g)[0] / wb[0]
 
     if lens_model_b is not None:
+        bound_b = _model_bound_px(lens_model_b, fh, fw)
         coords_g_at_b = lens_model_b.get_undistorted_coordinates(g_resampled)
-        g_at_b = _remap_by_offsets(g_resampled, coords_g_at_b)
+        g_at_b = _remap_by_offsets(g_resampled, coords_g_at_b, bound_b)
 
         b_resampled = resample_b(b * wb[2], g_at_b)
 
         coords_b_at_g = lens_model_b.get_distorted_coordinates(b_resampled)
-        b_at_g = _remap_by_offsets(b_resampled, coords_b_at_g)
+        b_at_g = _remap_by_offsets(b_resampled, coords_b_at_g, bound_b)
 
         b = bayer_to_rgbg(b_at_g)[2] / wb[2]
 

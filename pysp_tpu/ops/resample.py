@@ -97,6 +97,116 @@ def remap_lanczos4(img: Array, map_x: Array, map_y: Array) -> Array:
     return out
 
 
+def _delta_fields(
+    map_x: Array, map_y: Array, h: int, w: int,
+    dy_bounds: Tuple[int, int], dx_bounds: Tuple[int, int],
+):
+    """Integer floor-index displacements from the identity grid, clipped into
+    the caller-guaranteed static bounds, plus the fractional phases."""
+    x0 = jnp.floor(map_x)
+    y0 = jnp.floor(map_y)
+    fx = map_x - x0
+    fy = map_y - y0
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+    dyv = jnp.clip(y0.astype(jnp.int32) - rows, dy_bounds[0], dy_bounds[1])
+    dxv = jnp.clip(x0.astype(jnp.int32) - cols, dx_bounds[0], dx_bounds[1])
+    return dyv, dxv, fx, fy
+
+
+def remap_bilinear_bounded(
+    img: Array, map_x: Array, map_y: Array,
+    dy_bounds: Tuple[int, int], dx_bounds: Tuple[int, int],
+) -> Array:
+    """remap_bilinear for displacement-bounded smooth maps — BIT-IDENTICAL.
+
+    TPU gathers run at ~10-25 ns per gathered element (benchmarks/remap_probe),
+    which makes gather remaps ~1000x slower than the arithmetic they feed.
+    When floor(map) - identity lies in the STATIC inclusive ranges
+    ``dy_bounds``/``dx_bounds`` (true for lens-distortion and CA warps), each
+    corner VALUE is instead selected (`where`-chains over clamped shifts of
+    ``img``) — pure shift/compare/select VPU work that XLA fuses. Selection
+    picks exact values, so the lerps below reproduce remap_bilinear bit for
+    bit. Deltas outside the bounds are clipped (callers must supply true
+    bounds; remap_bilinear remains the reference for unbounded maps).
+    """
+    from .stencil import pad_replicate, shift2d
+
+    h, w = img.shape[-2], img.shape[-1]
+    dyv, dxv, fx, fy = _delta_fields(map_x, map_y, h, w, dy_bounds, dx_bounds)
+    fx = fx.astype(img.dtype)
+    fy = fy.astype(img.dtype)
+
+    def sel(dy_tap: int, dx_tap: int) -> Array:
+        def row(a: int) -> Array:
+            o = shift2d(img, a + dy_tap, dx_bounds[0] + dx_tap, pad_replicate)
+            for b in range(dx_bounds[0] + 1, dx_bounds[1] + 1):
+                o = jnp.where(
+                    dxv == b, shift2d(img, a + dy_tap, b + dx_tap, pad_replicate), o
+                )
+            return o
+
+        out = row(dy_bounds[0])
+        for a in range(dy_bounds[0] + 1, dy_bounds[1] + 1):
+            out = jnp.where(dyv == a, row(a), out)
+        return out
+
+    i00 = sel(0, 0)
+    i01 = sel(0, 1)
+    i10 = sel(1, 0)
+    i11 = sel(1, 1)
+    top = i00 * (1 - fx) + i01 * fx
+    bot = i10 * (1 - fx) + i11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def remap_lanczos4_bounded(
+    img: Array, map_x: Array, map_y: Array,
+    dy_bounds: Tuple[int, int], dx_bounds: Tuple[int, int],
+) -> Array:
+    """remap_lanczos4 for displacement-bounded maps — BIT-IDENTICAL.
+
+    Reassociated so cost is linear, not quadratic, in the bound sizes: the
+    8-tap horizontal pass is evaluated once per candidate row shift s (using
+    every pixel's own horizontal taps/phase), then each vertical tap selects
+    its row result by the pixel's vertical delta. Accumulation order matches
+    remap_lanczos4 exactly (zeros-seeded, taps ascending).
+    """
+    from .stencil import pad_replicate, shift2d
+
+    h, w = img.shape[-2], img.shape[-1]
+    dyv, dxv, fx, fy = _delta_fields(map_x, map_y, h, w, dy_bounds, dx_bounds)
+    wx = _lanczos4_weights(fx.astype(img.dtype))
+    wy = _lanczos4_weights(fy.astype(img.dtype))
+
+    def hrow(s: int) -> Array:
+        """sum_i wx_i * img[clamp(r+s), clamp(c + dxv + i - 3)]."""
+
+        def taps(b: int) -> Array:
+            acc = jnp.zeros((h, w), img.dtype)
+            for i in range(8):
+                acc = acc + wx[..., i] * shift2d(
+                    img, s, b + i - 3, pad_replicate
+                )
+            return acc
+
+        out = taps(dx_bounds[0])
+        for b in range(dx_bounds[0] + 1, dx_bounds[1] + 1):
+            out = jnp.where(dxv == b, taps(b), out)
+        return out
+
+    rows = {
+        s: hrow(s) for s in range(dy_bounds[0] - 3, dy_bounds[1] + 5)
+    }
+    out = jnp.zeros((h, w), img.dtype)
+    for j in range(8):
+        row_acc = rows[dy_bounds[0] + j - 3]
+        for a in range(dy_bounds[0] + 1, dy_bounds[1] + 1):
+            row_acc = jnp.where(dyv == a, rows[a + j - 3], row_acc)
+        out = out + wy[..., j] * row_acc
+    return out
+
+
 def bilinear_sample(
     image: Array, offset: Tuple[float, float], width: int, height: int
 ) -> Array:

@@ -96,6 +96,54 @@ def compute_offset_remapping_table(
     )
 
 
+def displacement_bounds(
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+    margin: int = 3,
+    cap: int = 17,
+):
+    """Static floor-index displacement bounds of the rectilinear map.
+
+    Evaluated host-side (NumPy f64 on a dense-enough grid — the map is smooth,
+    so a ~256x256 sweep plus ``margin`` covers grid gaps and f32 rounding).
+    Returns ((dy_lo, dy_hi), (dx_lo, dx_hi)) for the bounded remaps, or None
+    when either range exceeds ``cap`` (select-chain cost grows with the range;
+    huge warps fall back to the gather path).
+    """
+    import numpy as np
+
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    k = np.asarray(coeffs, np.float64)
+    ys = np.unique(np.r_[np.arange(0, height, max(1, height // 256)), height - 1])
+    xs = np.unique(np.r_[np.arange(0, width, max(1, width // 256)), width - 1])
+    sy, sx = np.meshgrid(ys.astype(np.float64), xs.astype(np.float64), indexing="ij")
+
+    dx = (sx - cx) / m
+    dy = (sy - cy) / m
+    r2 = dx * dx + dy * dy
+    f = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
+    dxt = k[4] * (2 * dx * dy) + k[5] * (r2 + 2 * dx * dx)
+    dyt = k[5] * (2 * dx * dy) + k[4] * (r2 + 2 * dy * dy)
+    xp = cx + m * (f * dx + dxt)
+    yp = cy + m * (f * dy + dyt)
+    out_x = np.clip(sx + (xp - sx) * scale, 0, width - 1)
+    out_y = np.clip(sy + (yp - sy) * scale, 0, height - 1)
+
+    def rng(disp):
+        return (
+            int(np.floor(disp.min())) - margin,
+            int(np.floor(disp.max())) + margin,
+        )
+
+    dyb, dxb = rng(out_y - sy), rng(out_x - sx)
+    if max(dyb[1] - dyb[0], dxb[1] - dxb[0]) > 2 * cap:
+        return None
+    return dyb, dxb
+
+
 def warp_channel_rectilinear(
     channel: Array,
     coeffs,
@@ -103,20 +151,35 @@ def warp_channel_rectilinear(
     scale: float = 1.0,
     prior: Optional[Tuple[Array, Array]] = None,
     interpolation: str = "lanczos4",
+    bounds=None,
 ) -> Array:
     """Fused table + resample for one channel (chan_distortion_corr.py:86-98).
 
     Coordinates are clipped into the image bounds exactly like the reference's
-    np.clip before cv2.remap (:94-97).
+    np.clip before cv2.remap (:94-97). When the warp's displacement bounds are
+    statically known (always, for a bare coefficient warp; via ``bounds`` for
+    prior-composed tables) the gather-free bounded remap runs instead — TPU
+    gathers cost ~10-25 ns/element, ~2000x the arithmetic (BASELINE.md).
     """
     h, w = channel.shape[-2], channel.shape[-1]
     if prior is None:
         map_x, map_y = compute_remapping_table(coeffs, w, h, cam_center_norm, scale)
+        if bounds is None:
+            bounds = displacement_bounds(coeffs, w, h, cam_center_norm, scale)
     else:
         map_x, map_y = compute_offset_remapping_table(
             prior[0], prior[1], coeffs, w, h, cam_center_norm, scale
         )
     map_x = jnp.clip(map_x, 0, w - 1)
     map_y = jnp.clip(map_y, 0, h - 1)
+    if bounds is not None:
+        from ..ops.resample import remap_bilinear_bounded, remap_lanczos4_bounded
+
+        remap_b = (
+            remap_lanczos4_bounded
+            if interpolation == "lanczos4"
+            else remap_bilinear_bounded
+        )
+        return remap_b(channel, map_x, map_y, bounds[0], bounds[1])
     remap = remap_lanczos4 if interpolation == "lanczos4" else remap_bilinear
     return remap(channel, map_x, map_y)

@@ -362,3 +362,101 @@ def test_warp_apply_matches_cv2_transcription():
     )
     p = np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
     assert p > 50, p
+
+
+def test_bounded_remaps_bit_identical_to_gather_remaps():
+    """The gather-free bounded remaps (select over statically-bounded shifts)
+    reproduce the gather remaps bit for bit — radial and jittery maps, maps
+    clipped at the edges, both kernels."""
+    from pysp_tpu.ops.resample import (
+        remap_bilinear,
+        remap_bilinear_bounded,
+        remap_lanczos4,
+        remap_lanczos4_bounded,
+    )
+
+    rng = np.random.default_rng(4)
+    H, W = 80, 144
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    cy, cx = (H - 1) / 2, (W - 1) / 2
+    r2 = ((yy - cy) / cy) ** 2 + ((xx - cx) / cx) ** 2
+    s = 1.0 + 0.04 * r2 - 0.015 * r2**2
+    maps = [
+        (
+            np.clip(cx + (xx - cx) * s, 0, W - 1).astype(np.float32),
+            np.clip(cy + (yy - cy) * s, 0, H - 1).astype(np.float32),
+        ),
+        (
+            np.clip(xx + rng.uniform(-3.9, 1.4, (H, W)), 0, W - 1).astype(np.float32),
+            np.clip(yy + rng.uniform(-2.7, 3.2, (H, W)), 0, H - 1).astype(np.float32),
+        ),
+    ]
+    for mx, my in maps:
+        dyb = (
+            int(np.floor((np.floor(my) - yy).min())),
+            int(np.ceil((np.floor(my) - yy).max())),
+        )
+        dxb = (
+            int(np.floor((np.floor(mx) - xx).min())),
+            int(np.ceil((np.floor(mx) - xx).max())),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(remap_bilinear_bounded(img, mx, my, dyb, dxb)),
+            np.asarray(remap_bilinear(img, mx, my)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(remap_lanczos4_bounded(img, mx, my, dyb, dxb)),
+            np.asarray(remap_lanczos4(img, mx, my)),
+        )
+
+
+def test_warp_channel_bounded_matches_gather_path():
+    """warp_channel_rectilinear's automatic bounded path equals the gather
+    path exactly for a realistic distortion."""
+    from pysp_tpu.warp.rectilinear import displacement_bounds, warp_channel_rectilinear
+
+    rng = np.random.default_rng(6)
+    import jax.numpy as jnp
+
+    chan = jnp.asarray(rng.random((64, 96)).astype(np.float32))
+    coeffs = (1.004, -0.012, 0.003, 0.0, 0.0004, -0.0002)
+    center = (0.5, 0.5)
+    b = displacement_bounds(coeffs, 96, 64, center)
+    assert b is not None
+    for interp in ("lanczos4", "bilinear"):
+        auto = warp_channel_rectilinear(chan, coeffs, center, interpolation=interp)
+        # force the gather path by passing bounds=None explicitly impossible —
+        # rebuild via the raw remap instead
+        from pysp_tpu.ops.resample import remap_bilinear, remap_lanczos4
+        from pysp_tpu.warp.rectilinear import compute_remapping_table
+
+        mx, my = compute_remapping_table(coeffs, 96, 64, center)
+        mx = jnp.clip(mx, 0, 95)
+        my = jnp.clip(my, 0, 63)
+        remap = remap_lanczos4 if interp == "lanczos4" else remap_bilinear
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(remap(chan, mx, my)))
+
+
+def test_ca_removal_bounded_matches_gather():
+    """remove_ca_from_raw with the model-derived bound equals the unbounded
+    remap path exactly."""
+    from pysp_tpu.core.frame import RawFrame
+    from pysp_tpu.correct.ca import removal as R
+    from pysp_tpu.correct.ca.models import Poly3CorrectionModel
+
+    rng = np.random.default_rng(8)
+    frame = RawFrame.synthetic(rng.random((64, 96)).astype(np.float32))
+    model = Poly3CorrectionModel(0.02)
+
+    got = np.asarray(R.remove_ca_from_raw(frame, model, model).bayer)
+
+    orig = R._model_bound_px
+    R._model_bound_px = lambda *a, **k: None  # force the gather path
+    try:
+        want = np.asarray(R.remove_ca_from_raw(frame, model, model).bayer)
+    finally:
+        R._model_bound_px = orig
+    np.testing.assert_array_equal(got, want)
