@@ -137,24 +137,28 @@ def remap_bilinear_bounded(
     fx = fx.astype(img.dtype)
     fy = fy.astype(img.dtype)
 
-    def sel(dy_tap: int, dx_tap: int) -> Array:
-        def row(a: int) -> Array:
-            o = shift2d(img, a + dy_tap, dx_bounds[0] + dx_tap, pad_replicate)
-            for b in range(dx_bounds[0] + 1, dx_bounds[1] + 1):
-                o = jnp.where(
-                    dxv == b, shift2d(img, a + dy_tap, b + dx_tap, pad_replicate), o
-                )
-            return o
+    # Linear (not quadratic) in the bound sizes: resolve the horizontal select
+    # once per candidate row shift s and x-tap, then pick rows by the vertical
+    # delta — 2(SY+1)SX + 4SY selects instead of 4·SY·SX.
+    def hsel(s: int, dx_tap: int) -> Array:
+        o = shift2d(img, s, dx_bounds[0] + dx_tap, pad_replicate)
+        for b in range(dx_bounds[0] + 1, dx_bounds[1] + 1):
+            o = jnp.where(dxv == b, shift2d(img, s, b + dx_tap, pad_replicate), o)
+        return o
 
-        out = row(dy_bounds[0])
+    h0 = {s: hsel(s, 0) for s in range(dy_bounds[0], dy_bounds[1] + 2)}
+    h1 = {s: hsel(s, 1) for s in range(dy_bounds[0], dy_bounds[1] + 2)}
+
+    def vsel(rows: dict, dy_tap: int) -> Array:
+        out = rows[dy_bounds[0] + dy_tap]
         for a in range(dy_bounds[0] + 1, dy_bounds[1] + 1):
-            out = jnp.where(dyv == a, row(a), out)
+            out = jnp.where(dyv == a, rows[a + dy_tap], out)
         return out
 
-    i00 = sel(0, 0)
-    i01 = sel(0, 1)
-    i10 = sel(1, 0)
-    i11 = sel(1, 1)
+    i00 = vsel(h0, 0)
+    i01 = vsel(h1, 0)
+    i10 = vsel(h0, 1)
+    i11 = vsel(h1, 1)
     top = i00 * (1 - fx) + i01 * fx
     bot = i10 * (1 - fx) + i11 * fx
     return top * (1 - fy) + bot * fy
