@@ -703,7 +703,7 @@ struct Rw2Bits {
       ++sec;
     }
     vbits = (vbits - n) & 0x1FFFF;
-    int byte = vbits >> 3;
+    int byte = vbits >> 3 ^ 0x3FF0;  // dcraw pana_bits byte addressing
     int word = buf[byte] | (buf[byte + 1] << 8);
     return (word >> (vbits & 7)) & ((1 << n) - 1);
   }
@@ -717,7 +717,7 @@ struct Rw2BitWriter {
     if (!vbits) bufs.resize(bufs.size() + kRw2Section, 0);
     vbits = (vbits - n) & 0x1FFFF;
     uint8_t* buf = bufs.data() + (bufs.size() - kRw2Section);
-    int byte = vbits >> 3;
+    int byte = vbits >> 3 ^ 0x3FF0;  // mirror the reader's byte addressing
     int word = value << (vbits & 7);
     buf[byte] |= word & 0xFF;
     if (byte + 1 < kRw2Section) buf[byte + 1] |= (word >> 8) & 0xFF;

@@ -17,7 +17,11 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     dev = sub.add_parser("develop", help="develop raw file(s) to sRGB images")
-    dev.add_argument("inputs", nargs="+", help="raw file path(s) (DNG/CR2)")
+    dev.add_argument(
+        "inputs",
+        nargs="+",
+        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF built in; others via rawpy)",
+    )
     dev.add_argument("-o", "--output", help="output path (single input) or directory")
     dev.add_argument(
         "--quality", choices=["draft", "fast", "best"], default="best"

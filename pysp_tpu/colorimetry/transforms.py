@@ -210,21 +210,18 @@ _CV2_RGB_TO_XYZ = np.array(
 _CV2_LAB_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
 
-def rgb_to_lab_channels(
-    r: Array, g: Array, b: Array, cbrt_fn=jnp.cbrt, pow24_fn=None
-):
+def rgb_to_lab_channels(r: Array, g: Array, b: Array, cbrt_fn=jnp.cbrt):
     """Channelwise RGB [0,1] -> CIELAB (cv2 float semantics; see rgb_to_lab).
 
     Identical math/op-order to rgb_to_lab on separate 2D arrays — usable inside
-    Pallas kernels (no channel stacking). ``cbrt_fn``/``pow24_fn`` let Pallas
-    callers swap in Mosaic-friendly forms (no cbrt/pow primitives there); the
-    multiply-only ops.fastmath pair is ~3-6x closer to the f64 truth than the
-    exp(log·p) forms it replaced."""
+    Pallas kernels (no channel stacking). ``cbrt_fn`` lets Pallas callers swap
+    in a Mosaic-friendly form (no cbrt primitive there; exp(log/3) measured
+    faster than multiply-only Halley iterations, benchmarks/cbrt_cost_probe.py)."""
 
     def decode(x):
         x = jnp.clip(x, 0.0, 1.0)
         base = jnp.maximum((x + 0.055) / 1.055, 1e-12)
-        p = jnp.power(base, 2.4) if pow24_fn is None else pow24_fn(base)
+        p = jnp.power(base, 2.4)
         return jnp.where(x <= 0.04045, x / 12.92, p)
 
     r, g, b = decode(r), decode(g), decode(b)

@@ -151,7 +151,6 @@ def _median5_quad(quad: Quad) -> Quad:
 def _homogeneity_quad(
     r_q: Quad, g_q: Quad, b_q: Quad,
     mat: Array, wb: Array, is_hdr: bool, is_vertical: bool, cbrt_fn,
-    pow24_fn=None,
 ) -> Quad:
     """ahd._build_homogeneity_map in phase space (ahd_poly._homogeneity_quad)."""
 
@@ -165,14 +164,10 @@ def _homogeneity_quad(
             ir = ir / (1.0 + ir)
             ig = ig / (1.0 + ig)
             ib = ib / (1.0 + ib)
-            lum, a, bb2 = rgb_to_lab_channels(
-                ir, ig, ib, cbrt_fn=cbrt_fn, pow24_fn=pow24_fn
-            )
+            lum, a, bb2 = rgb_to_lab_channels(ir, ig, ib, cbrt_fn=cbrt_fn)
             lum = luma
         else:
-            lum, a, bb2 = rgb_to_lab_channels(
-                ir, ig, ib, cbrt_fn=cbrt_fn, pow24_fn=pow24_fn
-            )
+            lum, a, bb2 = rgb_to_lab_channels(ir, ig, ib, cbrt_fn=cbrt_fn)
         return lum, a, bb2
 
     lab = [[to_lab(r_q[py][px], g_q[py][px], b_q[py][px]) for px in (0, 1)]
@@ -232,7 +227,6 @@ def ahd_band_quads(
     is_hdr: bool,
     postprocess_stages: int = 1,
     cbrt_fn=jnp.cbrt,
-    pow24_fn=None,
 ) -> Tuple[Quad, Quad, Quad]:
     """AHD on one band of CFA phase planes (r, g1, g2, b at phases 00/01/10/11).
 
@@ -281,11 +275,11 @@ def ahd_band_quads(
     b_v = _qmap(add, up_b, delta_gv_hf)
 
     map_h = _conv3x3_quad(
-        _homogeneity_quad(r_h, g_h, b_h, mat, wb, is_hdr, False, cbrt_fn, pow24_fn),
+        _homogeneity_quad(r_h, g_h, b_h, mat, wb, is_hdr, False, cbrt_fn),
         _BOX3,
     )
     map_v = _conv3x3_quad(
-        _homogeneity_quad(r_v, g_v, b_v, mat, wb, is_hdr, True, cbrt_fn, pow24_fn),
+        _homogeneity_quad(r_v, g_v, b_v, mat, wb, is_hdr, True, cbrt_fn),
         _BOX3,
     )
 

@@ -47,7 +47,12 @@ def blur_gaussian(image: Array, sigma: float) -> Array:
 
     Accepts (H, W) or (H, W, C). NOTE: like the reference, the kernel is NOT
     normalized by its sum — overall gain is sum(filter)^2 (~1 for reasonable sigma).
+
+    Two 1-D passes (H then V, like the reference): symmetric padding copies whole
+    rows/columns, so each pass commutes with the other axis's padding and the
+    result equals the pad-once outer-product convolution at 2k taps/pixel
+    instead of k^2.
     """
     k1 = get_1d_gaussian_filter(float(sigma))
-    kernel = np.outer(k1, k1).astype(np.float32)
-    return filter2d_hwc(image, kernel, border="reflect")
+    h_pass = filter2d_hwc(image, k1.reshape(1, -1), border="reflect")
+    return filter2d_hwc(h_pass, k1.reshape(-1, 1), border="reflect")

@@ -30,7 +30,7 @@ import numpy as np
 from ..const import BayerPattern
 from ..core.frame import RawFrame
 from . import tiff as T
-from .camera_matrices import generic_matrices, lookup_camera_matrices
+from .camera_matrices import resolve_camera_matrices
 
 Source = Union[str, bytes]
 
@@ -264,7 +264,7 @@ def load_raw_cr2(
             if model_tag is not None
             else None
         )
-        color_mats = lookup_camera_matrices(model) or generic_matrices()
+        color_mats = resolve_camera_matrices(model)
 
     cam_wb = CameraWhiteBalanceController(color_mats, neutral)
     ev = compute_ev_from_tiff(source)

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core.frame import RawFrame
 from . import tiff as T
-from .camera_matrices import generic_matrices, lookup_camera_matrices
+from .camera_matrices import resolve_camera_matrices
 
 Source = Union[str, bytes]
 
@@ -197,7 +197,7 @@ def load_raw_nef(source: Source, color_mats=None) -> RawFrame:
             if model_tag is not None
             else None
         )
-        color_mats = lookup_camera_matrices(model) or generic_matrices()
+        color_mats = resolve_camera_matrices(model)
 
     cam_wb = CameraWhiteBalanceController(color_mats, neutral)
     ev = compute_ev_from_tiff(source)

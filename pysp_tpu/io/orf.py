@@ -32,7 +32,7 @@ import numpy as np
 
 from ..core.frame import RawFrame
 from . import tiff as T
-from .camera_matrices import generic_matrices, lookup_camera_matrices
+from .camera_matrices import resolve_camera_matrices
 
 Source = Union[str, bytes]
 
@@ -54,7 +54,12 @@ def _read_source(source: Source) -> bytes:
 
 def is_orf(source: Source) -> bool:
     """ORF: TIFF container with the Olympus alternate magic."""
-    data = _read_source(source)[:4]
+    if isinstance(source, str):
+        # probe only the 4-byte magic — load_raw calls this on every input
+        with open(source, "rb") as f:
+            data = f.read(4)
+    else:
+        data = bytes(source[:4])
     if len(data) < 4 or data[:2] != b"II":
         return False
     (magic,) = struct.unpack_from("<H", data, 2)
@@ -325,7 +330,7 @@ def load_raw_orf(source: Source, color_mats=None) -> RawFrame:
             if model_tag is not None
             else None
         )
-        color_mats = lookup_camera_matrices(model) or generic_matrices()
+        color_mats = resolve_camera_matrices(model)
 
     cam_wb = CameraWhiteBalanceController(color_mats, neutral)
     ev = compute_ev_from_tiff(source)

@@ -24,9 +24,11 @@ io/metadata.py). Pieces:
 
 The reader mirrors dcraw's ``pana_bits`` state machine (down-counting 17-bit
 cursor over rotated 0x4000-byte sections, 16-bit little-endian windows,
-reload only when the cursor hits zero); the window byte is ``vbits >> 3`` —
-the one placement that makes consumption contiguous and gap-free for every
-read sequence, which any camera-decodable stream requires. Predictors and the
+reload only when the cursor hits zero); the window byte is
+``vbits >> 3 ^ 0x3ff0`` — the XOR flips the 16-byte-group index so groups are
+consumed in increasing file order while bit addressing inside a group counts
+down, exactly dcraw's formula (with the fixed-rate 128-bit packet layout no
+window ever straddles a physical group, so reads stay gap-free). Predictors and the
 shift persist across packet boundaries exactly as the C function state does.
 The encoder used for synthetic fixtures emits the fixed-rate layout cameras
 produce (two 12-bit initialisers + twelve 8-bit deltas + four shift codes =
@@ -43,7 +45,7 @@ import numpy as np
 
 from ..core.frame import RawFrame
 from . import tiff as T
-from .camera_matrices import generic_matrices, lookup_camera_matrices
+from .camera_matrices import resolve_camera_matrices
 
 Source = Union[str, bytes]
 
@@ -83,12 +85,16 @@ def _read_source(source: Source) -> bytes:
 
 
 def is_rw2(source: Source) -> bool:
-    """RW2: TIFF container whose IFD0 carries the Panasonic raw-offset tag."""
+    """RW2: TIFF container with the 0x55 magic whose IFD0 carries the
+    Panasonic raw tags (both checks — a classic TIFF/DNG that happens to
+    carry colliding private tag numbers must not be misrouted here)."""
     try:
         tf = T.read_tiff(source)
     except (ValueError, struct.error):
         return False
-    if not tf.ifds:
+    if not tf.ifds or len(tf.data) < 4:
+        return False
+    if struct.unpack_from(tf.endian + "H", tf.data, 2)[0] != 0x55:
         return False
     ifd0 = tf.ifds[0]
     if ifd0.get(TAG_RAW_OFFSET) is not None and ifd0.get(TAG_CFA_PHASE) is not None:
@@ -126,7 +132,7 @@ class _PanaBits:
             else:
                 self.buf[:SECTION] = 0
         self.vbits = (self.vbits - n) & 0x1FFFF
-        byte = self.vbits >> 3
+        byte = self.vbits >> 3 ^ 0x3FF0
         word = int(self.buf[byte]) | int(self.buf[byte + 1]) << 8
         return (word >> (self.vbits & 7)) & ((1 << n) - 1)
 
@@ -180,7 +186,7 @@ class _PanaBitWriter:
         if self.vbits and self.vbits < n:
             raise ValueError("read would straddle a section (fixed-rate layout only)")
         self.vbits = (self.vbits - n) & 0x1FFFF
-        byte = self.vbits >> 3
+        byte = self.vbits >> 3 ^ 0x3FF0
         shift = self.vbits & 7
         mask = ((1 << n) - 1) << shift
         word = (value << shift) & 0xFFFF
@@ -375,7 +381,7 @@ def load_raw_rw2(source: Source, color_mats=None) -> RawFrame:
             if model_tag is not None
             else None
         )
-        color_mats = lookup_camera_matrices(model) or generic_matrices()
+        color_mats = resolve_camera_matrices(model)
 
     cam_wb = CameraWhiteBalanceController(color_mats, neutral)
     ev = compute_ev_from_tiff(source)  # hits the Panasonic 0x0017 ISO quirk
