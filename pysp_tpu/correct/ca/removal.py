@@ -72,10 +72,10 @@ def _remap_by_offsets(
     map_x = jnp.clip(coords[..., 1] + (w - 1) / 2.0, 0, w - 1)
     map_y = jnp.clip(coords[..., 0] + (h - 1) / 2.0, 0, h - 1)
     if bound_px is not None:
-        from ...ops.resample import remap_bilinear_bounded
+        from ...ops.resample import remap_bounded
 
         b = (-bound_px, bound_px)
-        return remap_bilinear_bounded(channel, map_x, map_y, b, b)
+        return remap_bounded(channel, map_x, map_y, b, b, kind="bilinear")
     return remap_bilinear(channel, map_x, map_y)
 
 

@@ -99,25 +99,33 @@ def arw2_decode(data: bytes, h: int, w: int) -> np.ndarray:
         + (diff >= 0x400)
     )
 
-    # fourteen 7-bit deltas, LSB-first bit positions 30 + 7*j within the block
-    padded = np.concatenate(
-        [blocks, np.zeros((h, w // 16, 1), np.uint8)], axis=-1
-    ).astype(np.uint16)
-    starts = 30 + 7 * np.arange(14)
+    # 7-bit deltas, LSB-first bit positions 30 + 7*j within the block. dcraw
+    # skips the max position and, ONLY when distinct, the min position — so an
+    # imax == imin block carries FIFTEEN deltas and the 15th read (bits
+    # 128-134) crosses into the next block's first two bytes (dcraw keeps
+    # walking dp+16; for the last block of a row it reads unwritten malloc
+    # memory — defined here as zeros).
+    nxt = np.zeros((h, w // 16, 2), np.uint8)
+    nxt[:, :-1] = blocks[:, 1:, :2]
+    padded = np.concatenate([blocks, nxt], axis=-1).astype(np.uint16)
+    starts = 30 + 7 * np.arange(15)
     byte_i = starts >> 3
     bit_i = starts & 7
     lo = padded[..., byte_i]
     hi = padded[..., byte_i + 1]
-    deltas = ((lo | hi << 8) >> bit_i) & 0x7F  # (h, nb, 14)
+    deltas = ((lo | hi << 8) >> bit_i) & 0x7F  # (h, nb, 15)
 
-    # slot rank of index i among the 14 delta-coded positions
+    # slot rank of index i among the delta-coded positions
     idx = np.arange(16)
     rank = (
         idx[None, None, :]
         - (imax[..., None] < idx[None, None, :])
-        - (imin[..., None] < idx[None, None, :])
+        - (
+            (imin[..., None] < idx[None, None, :])
+            & (imax[..., None] != imin[..., None])
+        )
     )
-    rank = np.clip(rank, 0, 13)
+    rank = np.clip(rank, 0, 14)
     coded = mn[..., None] + (
         np.take_along_axis(deltas.astype(np.uint32), rank, axis=-1) << sh[..., None]
     )

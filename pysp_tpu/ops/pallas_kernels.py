@@ -910,3 +910,205 @@ def masked_fill_pallas(
         interpret=interpret,
     )(means, stacked, mstacked)
     return out.reshape(4, h2, w2).astype(chan.dtype)
+
+
+# --- banded remap (bounded bilinear / Lanczos4 resample) --------------------------------
+def _remap_kernel(
+    x_hbm, mx_hbm, my_hbm, out_ref, x_s, mx_s, my_s, sems, *,
+    tile_h: int, width: int, wq: int, pad_r: int, pad_c: int,
+    dy_bounds, dx_bounds, kind: str,
+):
+    """One VMEM pass of the displacement-bounded remap (ops/resample.py
+    remap_bilinear_bounded / remap_lanczos4_bounded semantics, themselves
+    bit-identical to the gather remaps for in-bound maps).
+
+    The XLA bounded remaps are HBM-bound: their select chains are hundreds of
+    full-frame passes XLA cannot fuse into one loop. Here the source band plus
+    displacement halo sits in VMEM, so every shifted view is a register-level
+    slice and the whole resample costs one HBM read + write per pixel.
+
+    Bilinear: corner VALUES resolved by where-chains (exact picks), then the
+    same lerps — bit-identical to remap_bilinear. Lanczos4: absolute-shift
+    weight planes W_t = wx[t + 3 - dxv] (zero outside the pixel's 8-tap
+    window); summing S_t * W_t over ascending t visits the pixel's taps in
+    remap_lanczos4's exact accumulation order, and the interleaved zero terms
+    add exactly +-0.0 — bit-identical for finite inputs.
+    """
+    dy0, dy1 = dy_bounds
+    dx0, dx1 = dx_bounds
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    src_rows = tile_h + 2 * pad_r
+
+    def band(j, slot, k):
+        src = (x_hbm, mx_hbm, my_hbm)[k]
+        dst = (x_s, mx_s, my_s)[k]
+        rows = src_rows if k == 0 else tile_h
+        return pltpu.make_async_copy(
+            src.at[pl.ds(j * tile_h, rows), :], dst.at[slot], sems.at[slot * 3 + k]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for k in range(3):
+            band(0, 0, k).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for k in range(3):
+            band(i + 1, (i + 1) % 2, k).start()
+
+    for k in range(3):
+        band(i, i % 2, k).wait()
+
+    slot = i % 2
+    src = x_s[slot]
+    mx = mx_s[slot][...]
+    my = my_s[slot][...]
+
+    x0 = jnp.floor(mx)
+    y0 = jnp.floor(my)
+    fx = mx - x0
+    fy = my - y0
+    grow = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wq), 0) + i * tile_h
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wq), 1)
+    dyv = jnp.clip(y0.astype(jnp.int32) - grow, dy0, dy1)
+    dxv = jnp.clip(x0.astype(jnp.int32) - gcol, dx0, dx1)
+
+    def V(s: int, t: int):
+        """Source values at (row + s, col + t), clamp-to-edge via the pads."""
+        return src[pad_r + s : pad_r + s + tile_h, pad_c + t : pad_c + t + wq]
+
+    if kind == "bilinear":
+        def hsel(s: int, tap: int):
+            o = V(s, dx0 + tap)
+            for b in range(dx0 + 1, dx1 + 1):
+                o = jnp.where(dxv == b, V(s, b + tap), o)
+            return o
+
+        h0 = {s: hsel(s, 0) for s in range(dy0, dy1 + 2)}
+        h1 = {s: hsel(s, 1) for s in range(dy0, dy1 + 2)}
+
+        def vsel(rows_d, tap: int):
+            out = rows_d[dy0 + tap]
+            for a in range(dy0 + 1, dy1 + 1):
+                out = jnp.where(dyv == a, rows_d[a + tap], out)
+            return out
+
+        i00 = vsel(h0, 0)
+        i01 = vsel(h1, 0)
+        i10 = vsel(h0, 1)
+        i11 = vsel(h1, 1)
+        top = i00 * (1 - fx) + i01 * fx
+        bot = i10 * (1 - fx) + i11 * fx
+        res = top * (1 - fy) + bot * fy
+    else:  # lanczos4
+        from .resample import _lanczos4_weight_planes
+
+        wx = _lanczos4_weight_planes(fx)
+        wy = _lanczos4_weight_planes(fy)
+
+        wplanes = {}
+        for t in range(dx0 - 3, dx1 + 5):
+            jt = t + 3 - dxv
+            acc = jnp.zeros((tile_h, wq), jnp.float32)
+            for j in range(8):
+                acc = jnp.where(jt == j, wx[j], acc)
+            wplanes[t] = acc
+
+        rows = {}
+        for s in range(dy0 - 3, dy1 + 5):
+            acc = jnp.zeros((tile_h, wq), jnp.float32)
+            for t in range(dx0 - 3, dx1 + 5):
+                acc = acc + wplanes[t] * V(s, t)
+            rows[s] = acc
+
+        res = jnp.zeros((tile_h, wq), jnp.float32)
+        for j in range(8):
+            row = rows[dy0 + j - 3]
+            for a in range(dy0 + 1, dy1 + 1):
+                row = jnp.where(dyv == a, rows[a + j - 3], row)
+            res = res + wy[j] * row
+
+    out_ref[:] = res[:, :width]
+
+
+def remap_bounded_pallas(
+    img: Array, map_x: Array, map_y: Array,
+    dy_bounds, dx_bounds, kind: str = "bilinear",
+    tile_h: int = 0, interpret: bool = False,
+):
+    """Banded Pallas remap for displacement-bounded maps; (H, W) f32 planes.
+
+    Returns None when the shape/bounds don't fit a band (caller falls back to
+    the XLA bounded remaps). ``kind`` is "bilinear" or "lanczos4".
+    """
+    if img.ndim != 2 or map_x.ndim != 2 or map_y.ndim != 2:
+        return None
+    h, w = img.shape
+    dy0, dy1 = int(dy_bounds[0]), int(dy_bounds[1])
+    dx0, dx1 = int(dx_bounds[0]), int(dx_bounds[1])
+    reach = 4 if kind == "lanczos4" else 1
+    s_min, s_max = dy0 - reach + 1, dy1 + reach
+    t_min, t_max = dx0 - reach + 1, dx1 + reach
+    pad_r = _round_up(max(max(0, -s_min), max(0, s_max), 1), _ALIGN)
+    pad_c = max(0, -t_min)
+
+    if pad_r > 64 or dy1 - dy0 > 48 or dx1 - dx0 > 48:
+        # On-chip sweep (benchmarks/remap_tile_sweep.py) verified spans up to
+        # (30, 45) at tiles <= 32; a (87, 127)-span launch spills VMEM even at
+        # tile 8. Callers' own caps (warp <= 34, CA <= 24) sit well inside.
+        return None
+    # Mosaic's register allocator keeps far more of the select-chain wires live
+    # than the dict sizes suggest (tile 128 spilled 147 MB on a bilinear +-4
+    # launch), so the live estimate is deliberately fat and the tile capped low.
+    if kind == "lanczos4":
+        live = 3 * ((dy1 - dy0 + 9) + (dx1 - dx0 + 9)) + 30
+    else:
+        live = 6 * (dy1 - dy0 + 2) + 16
+    wq = _round_up(w, _LANE)
+    wp = _round_up(pad_c + wq + max(t_max, 0), _LANE)
+    if tile_h == 0:
+        # height needn't divide (rows are padded to a tile multiple below)
+        budget_rows = (_VMEM_LIMIT // 2) // max(live * wq * 4, 1)
+        tile_h = max(8, min(32, budget_rows - budget_rows % 8))
+    if tile_h % 8:
+        return None
+    hp = _round_up(h, tile_h)
+
+    img_p = jnp.pad(
+        img.astype(jnp.float32),
+        ((pad_r, pad_r + hp - h), (pad_c, wp - pad_c - w)),
+        mode="edge",
+    )
+    mx_p = jnp.pad(
+        map_x.astype(jnp.float32), ((0, hp - h), (0, wq - w)), mode="edge"
+    )
+    my_p = jnp.pad(
+        map_y.astype(jnp.float32), ((0, hp - h), (0, wq - w)), mode="edge"
+    )
+
+    kernel = partial(
+        _remap_kernel, tile_h=tile_h, width=w, wq=wq, pad_r=pad_r, pad_c=pad_c,
+        dy_bounds=(dy0, dy1), dx_bounds=(dx0, dx1), kind=kind,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(hp // tile_h,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
+        out_specs=pl.BlockSpec(
+            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * pad_r, wp), jnp.float32),
+            pltpu.VMEM((2, tile_h, wq), jnp.float32),
+            pltpu.VMEM((2, tile_h, wq), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(img_p, mx_p, my_p)
+    if hp != h:
+        out = out[:h]
+    return out.astype(img.dtype)

@@ -49,23 +49,35 @@ def remap_bilinear(img: Array, map_x: Array, map_y: Array) -> Array:
     return top * (1 - fy) + bot * fy
 
 
-def _lanczos4_weights(frac: Array) -> Array:
+def _lanczos4_weight_planes(frac: Array) -> list:
     """8 Lanczos (a=4) tap weights for taps at offsets -3..4 from floor(coord).
 
-    Weights normalized to sum 1 (cv2 does the same). frac shape (...,); output (..., 8).
+    Weights normalized to sum 1 (cv2 does the same). frac shape (...,); output is a
+    list of 8 arrays shaped like ``frac``. Per-tap-plane form (no trailing-8 axis, no
+    1-D iota) so the banded Pallas remap kernel can share it verbatim — Mosaic wants
+    2-D lane-major arrays. The normalization sum accumulates taps in ascending order
+    so the kernel and the XLA paths stay bit-identical to each other.
     """
-    taps = jnp.arange(-3, 5, dtype=jnp.float32)  # tap positions relative to floor
-    t = frac[..., None] - taps  # distance from sample point to each tap
-
-    pit = jnp.pi * t
     eps = 1e-7
-    safe = jnp.where(jnp.abs(t) < eps, 1.0, pit)
-    sinc = jnp.where(jnp.abs(t) < eps, 1.0, jnp.sin(safe) / safe)
-    safe4 = jnp.where(jnp.abs(t) < eps, 1.0, pit / 4.0)
-    sinc4 = jnp.where(jnp.abs(t) < eps, 1.0, jnp.sin(safe4) / safe4)
+    planes = []
+    for k in range(8):
+        t = frac - jnp.float32(k - 3)  # distance from sample point to this tap
+        pit = jnp.pi * t
+        small = jnp.abs(t) < eps
+        safe = jnp.where(small, 1.0, pit)
+        sinc = jnp.where(small, 1.0, jnp.sin(safe) / safe)
+        safe4 = jnp.where(small, 1.0, pit / 4.0)
+        sinc4 = jnp.where(small, 1.0, jnp.sin(safe4) / safe4)
+        planes.append(jnp.where(jnp.abs(t) < 4.0, sinc * sinc4, 0.0))
+    total = planes[0]
+    for k in range(1, 8):
+        total = total + planes[k]
+    return [w / total for w in planes]
 
-    w = jnp.where(jnp.abs(t) < 4.0, sinc * sinc4, 0.0)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+def _lanczos4_weights(frac: Array) -> Array:
+    """Stacked (…, 8) view of :func:`_lanczos4_weight_planes`."""
+    return jnp.stack(_lanczos4_weight_planes(frac), axis=-1)
 
 
 def remap_lanczos4(img: Array, map_x: Array, map_y: Array) -> Array:
@@ -209,6 +221,27 @@ def remap_lanczos4_bounded(
             row_acc = jnp.where(dyv == a, rows[a + j - 3], row_acc)
         out = out + wy[..., j] * row_acc
     return out
+
+
+def remap_bounded(
+    img: Array, map_x: Array, map_y: Array,
+    dy_bounds: Tuple[int, int], dx_bounds: Tuple[int, int],
+    kind: str = "bilinear", use_pallas: bool = True,
+) -> Array:
+    """Displacement-bounded remap dispatch: banded Pallas kernel on TPU
+    (one HBM pass; ops/pallas_kernels.remap_bounded_pallas), XLA select
+    remaps elsewhere. Both are bit-identical to the gather remaps when the
+    bounds truly cover floor(map) - identity."""
+    import jax
+
+    if use_pallas and jax.default_backend() == "tpu" and img.ndim == 2:
+        from .pallas_kernels import remap_bounded_pallas
+
+        out = remap_bounded_pallas(img, map_x, map_y, dy_bounds, dx_bounds, kind)
+        if out is not None:
+            return out
+    fn = remap_lanczos4_bounded if kind == "lanczos4" else remap_bilinear_bounded
+    return fn(img, map_x, map_y, dy_bounds, dx_bounds)
 
 
 def bilinear_sample(

@@ -173,13 +173,10 @@ def warp_channel_rectilinear(
     map_x = jnp.clip(map_x, 0, w - 1)
     map_y = jnp.clip(map_y, 0, h - 1)
     if bounds is not None:
-        from ..ops.resample import remap_bilinear_bounded, remap_lanczos4_bounded
+        from ..ops.resample import remap_bounded
 
-        remap_b = (
-            remap_lanczos4_bounded
-            if interpolation == "lanczos4"
-            else remap_bilinear_bounded
+        return remap_bounded(
+            channel, map_x, map_y, bounds[0], bounds[1], kind=interpolation
         )
-        return remap_b(channel, map_x, map_y, bounds[0], bounds[1])
     remap = remap_lanczos4 if interpolation == "lanczos4" else remap_bilinear
     return remap(channel, map_x, map_y)

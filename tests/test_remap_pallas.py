@@ -1,0 +1,150 @@
+"""Interpret-mode parity for the banded Pallas remap kernel.
+
+The kernel (ops/pallas_kernels.remap_bounded_pallas) reimplements the bounded
+remaps (ops/resample.py) as one VMEM pass. Values match the gather remaps up to
+FMA-contraction noise: interpret-mode Pallas evaluates a*(1-f)+b*f unfused while
+XLA contracts it, so parity here is gated at a few ulp (on-chip parity is
+measured separately by benchmarks/remap_pallas_check.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas
+from pysp_tpu.ops.resample import (
+    remap_bilinear,
+    remap_bilinear_bounded,
+    remap_lanczos4,
+    remap_lanczos4_bounded,
+)
+
+
+def _radial_jitter_maps(h, w, k1=0.04, jitter=0.9, seed=0):
+    """Smooth radial map + per-pixel jitter, clipped to the image (edge clips
+    exercise the clamp-to-edge taps)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    r2 = ((yy - cy) / cy) ** 2 + ((xx - cx) / cx) ** 2
+    s = 1.0 + k1 * r2
+    my = np.clip(cy + (yy - cy) * s + rng.uniform(-jitter, jitter, (h, w)), 0, h - 1)
+    mx = np.clip(cx + (xx - cx) * s + rng.uniform(-jitter, jitter, (h, w)), 0, w - 1)
+    dyb = (int(np.floor((my - yy).min())), int(np.floor((my - yy).max())))
+    dxb = (int(np.floor((mx - xx).min())), int(np.floor((mx - xx).max())))
+    return (
+        jnp.asarray(mx.astype(np.float32)),
+        jnp.asarray(my.astype(np.float32)),
+        dyb,
+        dxb,
+    )
+
+
+@pytest.mark.parametrize("kind", ["bilinear", "lanczos4"])
+def test_remap_pallas_matches_gather(kind):
+    rng = np.random.default_rng(1)
+    h, w = 48, 200  # w deliberately not a lane multiple
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w)
+
+    ref = remap_bilinear if kind == "bilinear" else remap_lanczos4
+    want = np.asarray(ref(img, mx, my))
+    got = remap_bounded_pallas(img, mx, my, dyb, dxb, kind, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+
+
+@pytest.mark.parametrize("kind", ["bilinear", "lanczos4"])
+def test_remap_pallas_matches_xla_bounded_multiband(kind):
+    """Forced small tile: multiple bands + non-dividing height padding."""
+    rng = np.random.default_rng(2)
+    h, w = 52, 140
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.06, seed=3)
+
+    ref = (
+        remap_bilinear_bounded if kind == "bilinear" else remap_lanczos4_bounded
+    )
+    want = np.asarray(ref(img, mx, my, dyb, dxb))
+    got = remap_bounded_pallas(
+        img, mx, my, dyb, dxb, kind, tile_h=16, interpret=True
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+
+
+def test_remap_pallas_asymmetric_bounds():
+    """A one-sided shift map (all displacements positive)."""
+    rng = np.random.default_rng(4)
+    h, w = 40, 160
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    my = np.clip(yy + 2.3 + 0.8 * np.sin(xx / 9.0), 0, h - 1)
+    mx = np.clip(xx + 4.1 + 0.8 * np.cos(yy / 7.0), 0, w - 1)
+    dyb = (int(np.floor((my - yy).min())), int(np.floor((my - yy).max())))
+    dxb = (int(np.floor((mx - xx).min())), int(np.floor((mx - xx).max())))
+    mx = jnp.asarray(mx.astype(np.float32))
+    my = jnp.asarray(my.astype(np.float32))
+
+    want = np.asarray(remap_lanczos4(img, mx, my))
+    got = remap_bounded_pallas(img, mx, my, dyb, dxb, "lanczos4", interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 2, reason="needs 2 virtual devices"
+)
+def test_remap_pallas_inside_shard_map():
+    """Pallas (manual DMA + double buffering) inside shard_map — the fast guard
+    for the invariant the slow megakernel tests lock (test_parallel.py): kernels
+    execute per-shard with check_vma=False. Row-sharded image, vertical-only
+    displacement zero so no cross-shard halo is needed; every shard's remap must
+    equal the same rows of the monolithic kernel output."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from pysp_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    h, w = 64, 140
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    mx = np.clip(xx + 3.0 * np.sin(yy / 5.0), 0, w - 1)
+    my = yy  # vertical identity: shards need no row halo
+    dxb = (int(np.floor((mx - xx).min())), int(np.floor((mx - xx).max())))
+    mx = jnp.asarray(mx.astype(np.float32))
+    my = jnp.asarray(my.astype(np.float32))
+
+    mesh = make_mesh((1, 2))
+
+    def local(im, a, b):
+        out = remap_bounded_pallas(im, a, b, (0, 0), dxb, "bilinear",
+                                   interpret=True)
+        assert out is not None
+        return out
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("spatial"), P("spatial"), P("spatial")),
+        out_specs=P("spatial"),
+        check_vma=False,
+    )
+    got = np.asarray(sharded(img, mx, my))
+    want = np.asarray(local(img, mx, my))
+    np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
+def test_remap_bounded_dispatch_cpu_falls_back():
+    """Off-TPU the dispatcher must return the XLA bounded result exactly."""
+    from pysp_tpu.ops.resample import remap_bounded
+
+    rng = np.random.default_rng(5)
+    h, w = 24, 130
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, seed=6)
+    want = np.asarray(remap_bilinear_bounded(img, mx, my, dyb, dxb))
+    got = np.asarray(remap_bounded(img, mx, my, dyb, dxb, kind="bilinear"))
+    assert np.array_equal(got, want)
