@@ -20,7 +20,7 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument(
         "inputs",
         nargs="+",
-        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF built in; others via rawpy)",
+        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF built in; others via rawpy)",
     )
     dev.add_argument("-o", "--output", help="output path (single input) or directory")
     dev.add_argument(
@@ -282,7 +282,31 @@ def _info(args) -> int:
     from .io.cr2 import is_cr2
     from .io.nef import is_nef
     from .io.orf import is_orf
+    from .io.raf import is_raf
     from .io.rw2 import is_rw2
+
+    if is_raf(args.input):
+        # RAF is a proprietary directory, not a TIFF: report from its
+        # embedded TIFF + loader-extracted metadata
+        from .io.raf import _read_source, load_raw_raf
+        import struct as _struct
+
+        data = _read_source(args.input)
+        out = {"format": "RAF"}
+        out["model"] = (
+            data[0x1C:0x3C].split(b"\x00")[0].decode("ascii", "replace").strip()
+        )
+        off, ln = _struct.unpack_from(">LL", data, 100)
+        try:
+            frame = load_raw_raf(args.input)
+            out["size"] = list(frame.bayer.shape)
+            out["as_shot_neutral"] = np.asarray(frame.wb_neutral).tolist()
+            out["ev"] = float(frame.ev)
+        except ValueError as e:
+            out["error"] = str(e)
+            out["ev"] = compute_ev_from_tiff(bytes(data[off : off + ln]))
+        print(json.dumps(out, indent=2))
+        return 0
 
     tf = T.read_tiff(args.input)
     out = {}

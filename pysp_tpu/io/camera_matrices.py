@@ -81,9 +81,12 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
     "E-M1": (7687, -1984, -606, -4327, 11928, 2721, -1381, 2339, 6452),
     "E-M5": (8380, -2630, -639, -2887, 10725, 2496, -627, 1427, 5438),
     "E-M10": (8380, -2630, -639, -2887, 10725, 2496, -627, 1427, 5438),
+    # Fujifilm Bayer bodies (RAF; X-Trans models are not decodable here)
+    "GFX 50S": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
+    "GFX 50R": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
 }
 
-_MAKER_PREFIXES = ("CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ")
+_MAKER_PREFIXES = ("CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ", "FUJIFILM ")
 
 
 def _norm_model(model: str) -> str:

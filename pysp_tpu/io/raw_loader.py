@@ -236,11 +236,21 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
         return load_raw_cr2(source)
+
+    from .raf import is_raf, load_raw_raf
+
+    if is_raf(source):
+        # X-Trans / Super-CCD layouts fall through to rawpy below
+        try:
+            return load_raw_raf(source)
+        except ValueError as e:
+            if "not supported" not in str(e):
+                raise
 
     from .arw import is_arw, load_raw_arw
 
@@ -281,7 +291,7 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF decoders and rawpy "
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF decoders and rawpy "
             "is not installed for other formats."
         ) from e
 
