@@ -61,6 +61,7 @@ from .correct.flat_field import (
     dark_frame_subtraction,
     flat_frame_correction,
 )
+from .correct.denoise import denoise_bayer_wavelet
 from .correct.hdr import fuse_exposures_from_debayer, fuse_exposures_to_raw
 from .correct.ca.models import (
     Poly3CorrectionModel,
@@ -158,6 +159,7 @@ __all__ = [
     "flat_frame_correction",
     "dark_frame_subtraction",
     "bias_frame_subtraction",
+    "denoise_bayer_wavelet",
     "fuse_exposures_to_raw",
     "fuse_exposures_from_debayer",
     "Poly3CorrectionModel",

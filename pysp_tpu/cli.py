@@ -33,6 +33,9 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--temperature", type=float, default=None,
                      help="override WB by color temperature (Kelvin)")
     dev.add_argument("--repair-hot-pixels", action="store_true")
+    dev.add_argument("--denoise", type=float, default=0.0, metavar="STRENGTH",
+                     help="Bayer-domain wavelet noise reduction before "
+                          "demosaic (~1.0 targets the estimated noise floor)")
     dev.add_argument("--ca", action="store_true",
                      help="fit and remove lateral chromatic aberration "
                           "(blind, in-mosaic Poly5 fit)")
@@ -146,6 +149,7 @@ def _develop(args) -> int:
             flat_field=args.flat is not None,
             repair_hot_pixels=args.repair_hot_pixels,
             hot_pixel_shared_ratio=0.5 if (args.hdr and args.repair_hot_pixels) else None,
+            denoise_strength=args.denoise,
             fuse_hdr=args.hdr,
         )
 
@@ -166,7 +170,7 @@ def _develop(args) -> int:
 
     plain = not (args.flat or args.dark or args.temperature is not None
                  or args.repair_hot_pixels or args.stats or args.ca or args.warp
-                 or filtering)
+                 or args.denoise > 0.0 or filtering)
     if plain and len(args.inputs) > 1:
         # pipelined decode -> develop -> save (stream driver)
         import os
@@ -246,6 +250,11 @@ def _develop(args) -> int:
         if args.repair_hot_pixels:
             masks = find_erroneous_pixels_median(frame)
             frame = repair_bad_pixels(frame, masks)
+
+        if args.denoise > 0.0:
+            from .correct.denoise import denoise_bayer_wavelet
+
+            frame = denoise_bayer_wavelet(frame, args.denoise)
 
         if args.stats:
             out, stats = develop_with_stats(frame, cfg)

@@ -49,6 +49,9 @@ class PipelineConfig:
     hot_pixel_iterations: int = 4
     # burst-consensus masks: flag pixels hot in >= this ratio of frames (None = per-frame)
     hot_pixel_shared_ratio: Optional[float] = None
+    # Bayer-domain wavelet NR (correct/denoise.py); 0 = off, ~1 = noise floor
+    denoise_strength: float = 0.0
+    denoise_levels: int = 3
     # Bayer-domain HDR fuse of the (batched) input burst
     fuse_hdr: bool = False
     # EV the fuse normalizes to (None = mean of the burst's EVs)
@@ -75,6 +78,12 @@ def _correct_one(
                 frame, cfg.hot_pixel_multiplier, cfg.hot_pixel_quantile
             )
         frame = repair_bad_pixels(frame, masks, cfg.hot_pixel_iterations)
+    if cfg.denoise_strength > 0.0:
+        from ..correct.denoise import denoise_bayer_wavelet
+
+        frame = denoise_bayer_wavelet(
+            frame, cfg.denoise_strength, cfg.denoise_levels
+        )
     return frame
 
 
