@@ -59,6 +59,13 @@ def compute_ca_lens_models_for_raw(
     return init_model_r, init_model_b
 
 
+def _maps_from_offsets(coords: Array, h: int, w: int):
+    """Center-relative (dy, dx) coordinate field -> clipped (map_x, map_y)."""
+    map_x = jnp.clip(coords[..., 1] + (w - 1) / 2.0, 0, w - 1)
+    map_y = jnp.clip(coords[..., 0] + (h - 1) / 2.0, 0, h - 1)
+    return map_x, map_y
+
+
 def _remap_by_offsets(
     channel: Array, coords: Array, bound_px: Optional[int] = None
 ) -> Array:
@@ -69,8 +76,7 @@ def _remap_by_offsets(
     bounded remap runs — bit-identical, and ~100x faster on TPU where gathers
     cost ~10-25 ns/element (BASELINE.md)."""
     h, w = channel.shape[-2], channel.shape[-1]
-    map_x = jnp.clip(coords[..., 1] + (w - 1) / 2.0, 0, w - 1)
-    map_y = jnp.clip(coords[..., 0] + (h - 1) / 2.0, 0, h - 1)
+    map_x, map_y = _maps_from_offsets(coords, h, w)
     if bound_px is not None:
         from ...ops.resample import remap_bounded
 
@@ -129,6 +135,13 @@ def remove_ca_from_raw(
     wb = frame.wb_reciprocal()
 
     fh, fw = g_resampled.shape[-2], g_resampled.shape[-1]
+
+    batched = _remove_ca_batched(
+        frame, lens_model_r, lens_model_b, r, g1, b, g2, g_resampled, wb
+    )
+    if batched is not None:
+        return batched
+
     if lens_model_r is not None:
         bound_r = _model_bound_px(lens_model_r, fh, fw)
         coords_g_at_r = lens_model_r.get_undistorted_coordinates(g_resampled)
@@ -154,3 +167,59 @@ def remove_ca_from_raw(
         b = bayer_to_rgbg(b_at_g)[2] / wb[2]
 
     return frame.replace(bayer=rgbg_to_bayer(r, g1, b, g2))
+
+
+def _remove_ca_batched(
+    frame, lens_model_r, lens_model_b, r, g1, b, g2, g_resampled, wb
+):
+    """Both-channel CA removal with the two remap pairs batched into two
+    (2, H, W) banded-kernel launches (grids over channel x bands): the G
+    warps share one HBM copy of the upsampled green (shared-img mode), the
+    back-warps stack R/B. Values identical to the sequential path (the union
+    displacement bound only widens the clip range; selection still picks each
+    pixel's exact taps). Returns None off-TPU / single-model / unbounded —
+    the caller then runs the per-channel path."""
+    import jax
+
+    if lens_model_r is None or lens_model_b is None:
+        return None
+    if jax.default_backend() != "tpu" or g_resampled.ndim != 2:
+        return None
+    fh, fw = g_resampled.shape
+    bound_r = _model_bound_px(lens_model_r, fh, fw)
+    bound_b = _model_bound_px(lens_model_b, fh, fw)
+    if bound_r is None or bound_b is None:
+        return None
+    from ...ops.pallas_kernels import remap_bounded_pallas
+
+    bb = (-max(bound_r, bound_b), max(bound_r, bound_b))
+
+    def maps2(coords_a, coords_b):
+        xa, ya = _maps_from_offsets(coords_a, fh, fw)
+        xb, yb = _maps_from_offsets(coords_b, fh, fw)
+        return jnp.stack([xa, xb]), jnp.stack([ya, yb])
+
+    mx, my = maps2(
+        lens_model_r.get_undistorted_coordinates(g_resampled),
+        lens_model_b.get_undistorted_coordinates(g_resampled),
+    )
+    g_at = remap_bounded_pallas(g_resampled, mx, my, bb, bb, "bilinear")
+    if g_at is None:
+        return None
+
+    r_resampled = resample_r(r * wb[0], g_at[0])
+    b_resampled = resample_b(b * wb[2], g_at[1])
+
+    mx2, my2 = maps2(
+        lens_model_r.get_distorted_coordinates(r_resampled),
+        lens_model_b.get_distorted_coordinates(b_resampled),
+    )
+    back = remap_bounded_pallas(
+        jnp.stack([r_resampled, b_resampled]), mx2, my2, bb, bb, "bilinear"
+    )
+    if back is None:
+        return None
+
+    r_new = bayer_to_rgbg(back[0])[0] / wb[0]
+    b_new = bayer_to_rgbg(back[1])[2] / wb[2]
+    return frame.replace(bayer=rgbg_to_bayer(r_new, g1, b_new, g2))

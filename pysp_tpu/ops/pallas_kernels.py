@@ -916,7 +916,8 @@ def masked_fill_pallas(
 def _remap_kernel(
     x_hbm, mx_hbm, my_hbm, out_ref, x_s, mx_s, my_s, sems, *,
     tile_h: int, width: int, wq: int, pad_r: int, pad_c: int,
-    dy_bounds, dx_bounds, kind: str,
+    dy_bounds, dx_bounds, kind: str, n_chan: int, shared_maps: bool,
+    shared_img: bool,
 ):
     """One VMEM pass of the displacement-bounded remap (ops/resample.py
     remap_bilinear_bounded / remap_lanczos4_bounded semantics, themselves
@@ -932,36 +933,48 @@ def _remap_kernel(
     weight planes W_t = wx[t + 3 - dxv] (zero outside the pixel's 8-tap
     window); summing S_t * W_t over ascending t visits the pixel's taps in
     remap_lanczos4's exact accumulation order, and the interleaved zero terms
-    add exactly +-0.0 — bit-identical for finite inputs.
+    add exactly +-0.0. The tap weights themselves are the polynomial fits
+    (resample._LANCZOS4_POLY, <= 5.4e-7/weight): exact-sin weights cost ~32
+    VPU transcendentals per pixel and dominated the kernel; output differs
+    from remap_lanczos4 by <= ~1e-5 on [0, 1] data (vs cv2's own ~1e-3
+    fixed-point weight quantization).
     """
     dy0, dy1 = dy_bounds
     dx0, dx1 = dx_bounds
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
     src_rows = tile_h + 2 * pad_r
+    step = c * n + i  # flattened grid step (band index fastest)
 
-    def band(j, slot, k):
+    def band(cc, j, slot, k):
         src = (x_hbm, mx_hbm, my_hbm)[k]
         dst = (x_s, mx_s, my_s)[k]
         rows = src_rows if k == 0 else tile_h
+        shared = shared_img if k == 0 else shared_maps
+        mc = 0 if shared else cc
         return pltpu.make_async_copy(
-            src.at[pl.ds(j * tile_h, rows), :], dst.at[slot], sems.at[slot * 3 + k]
+            src.at[mc, pl.ds(j * tile_h, rows), :],
+            dst.at[slot],
+            sems.at[slot * 3 + k],
         )
 
-    @pl.when(i == 0)
+    @pl.when(step == 0)
     def _():
         for k in range(3):
-            band(0, 0, k).start()
+            band(0, 0, 0, k).start()
 
-    @pl.when(i + 1 < n)
+    @pl.when(step + 1 < n_chan * n)
     def _():
+        nc = jnp.where(i + 1 < n, c, c + 1)
+        nj = jnp.where(i + 1 < n, i + 1, 0)
         for k in range(3):
-            band(i + 1, (i + 1) % 2, k).start()
+            band(nc, nj, (step + 1) % 2, k).start()
 
     for k in range(3):
-        band(i, i % 2, k).wait()
+        band(c, i, step % 2, k).wait()
 
-    slot = i % 2
+    slot = step % 2
     src = x_s[slot]
     mx = mx_s[slot][...]
     my = my_s[slot][...]
@@ -1003,10 +1016,12 @@ def _remap_kernel(
         bot = i10 * (1 - fx) + i11 * fx
         res = top * (1 - fy) + bot * fy
     else:  # lanczos4
-        from .resample import _lanczos4_weight_planes
+        from .resample import _lanczos4_weight_planes_fast
 
-        wx = _lanczos4_weight_planes(fx)
-        wy = _lanczos4_weight_planes(fy)
+        # polynomial weights: 8 fma/tap instead of 2 VPU sins (which
+        # dominated the kernel); <= ~1e-5 output delta vs the exact weights
+        wx = _lanczos4_weight_planes_fast(fx)
+        wy = _lanczos4_weight_planes_fast(fy)
 
         wplanes = {}
         for t in range(dx0 - 3, dx1 + 5):
@@ -1030,7 +1045,7 @@ def _remap_kernel(
                 row = jnp.where(dyv == a, rows[a + j - 3], row)
             res = res + wy[j] * row
 
-    out_ref[:] = res[:, :width]
+    out_ref[0] = res[:, :width]
 
 
 def remap_bounded_pallas(
@@ -1038,14 +1053,27 @@ def remap_bounded_pallas(
     dy_bounds, dx_bounds, kind: str = "bilinear",
     tile_h: int = 0, interpret: bool = False,
 ):
-    """Banded Pallas remap for displacement-bounded maps; (H, W) f32 planes.
+    """Banded Pallas remap for displacement-bounded maps.
 
+    ``img`` is one (H, W) f32 plane or a (C, H, W) channel stack; maps are
+    (H, W) (shared across channels — computed and DMA'd once) or (C, H, W).
     Returns None when the shape/bounds don't fit a band (caller falls back to
     the XLA bounded remaps). ``kind`` is "bilinear" or "lanczos4".
     """
-    if img.ndim != 2 or map_x.ndim != 2 or map_y.ndim != 2:
+    squeeze = img.ndim == 2 and map_x.ndim == 2
+    if img.ndim == 2:
+        img = img[None]
+    if img.ndim != 3 or map_x.ndim not in (2, 3) or map_x.shape != map_y.shape:
         return None
-    h, w = img.shape
+    n_img, h, w = img.shape
+    n_map = 1 if map_x.ndim == 2 else map_x.shape[0]
+    n_chan = max(n_img, n_map)
+    shared_maps = n_map == 1
+    shared_img = n_img == 1
+    if n_img not in (1, n_chan) or n_map not in (1, n_chan):
+        return None
+    if map_x.shape[-2:] != (h, w):
+        return None
     dy0, dy1 = int(dy_bounds[0]), int(dy_bounds[1])
     dx0, dx1 = int(dx_bounds[0]), int(dx_bounds[1])
     reach = 4 if kind == "lanczos4" else 1
@@ -1078,28 +1106,33 @@ def remap_bounded_pallas(
 
     img_p = jnp.pad(
         img.astype(jnp.float32),
-        ((pad_r, pad_r + hp - h), (pad_c, wp - pad_c - w)),
+        ((0, 0), (pad_r, pad_r + hp - h), (pad_c, wp - pad_c - w)),
         mode="edge",
     )
-    mx_p = jnp.pad(
-        map_x.astype(jnp.float32), ((0, hp - h), (0, wq - w)), mode="edge"
-    )
-    my_p = jnp.pad(
-        map_y.astype(jnp.float32), ((0, hp - h), (0, wq - w)), mode="edge"
-    )
+    maps_p = []
+    for m in (map_x, map_y):
+        m3 = m[None] if shared_maps else m
+        maps_p.append(
+            jnp.pad(
+                m3.astype(jnp.float32),
+                ((0, 0), (0, hp - h), (0, wq - w)),
+                mode="edge",
+            )
+        )
 
     kernel = partial(
         _remap_kernel, tile_h=tile_h, width=w, wq=wq, pad_r=pad_r, pad_c=pad_c,
         dy_bounds=(dy0, dy1), dx_bounds=(dx0, dx1), kind=kind,
+        n_chan=n_chan, shared_maps=shared_maps, shared_img=shared_img,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(hp // tile_h,),
+        grid=(n_chan, hp // tile_h),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=pl.BlockSpec(
-            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (1, tile_h, w), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chan, hp, w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2 * pad_r, wp), jnp.float32),
             pltpu.VMEM((2, tile_h, wq), jnp.float32),
@@ -1108,7 +1141,8 @@ def remap_bounded_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(img_p, mx_p, my_p)
+    )(img_p, *maps_p)
     if hp != h:
-        out = out[:h]
-    return out.astype(img.dtype)
+        out = out[:, :h]
+    out = out.astype(img.dtype)
+    return out[0] if squeeze else out

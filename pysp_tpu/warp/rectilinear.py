@@ -144,6 +144,57 @@ def displacement_bounds(
     return dyb, dxb
 
 
+def warp_image_rectilinear(
+    image: Array,
+    coefficients,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+    interpolation: str = "lanczos4",
+) -> Optional[Array]:
+    """All channels of an (H, W, C) image in ONE banded remap launch.
+
+    DNG warps usually carry identical per-plane coefficients, so the
+    coordinate table is computed and DMA'd once and the three per-channel
+    kernel launches collapse into a single (C, bands) grid (the warp step of
+    BASELINE config 5). Returns None off-TPU / when bounds are unavailable —
+    callers fall back to the per-channel path.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu" or image.ndim != 3:
+        return None
+    h, w, c = image.shape
+    coeffs = [tuple(float(v) for v in co) for co in coefficients]
+    if len(coeffs) != c:
+        return None
+    bounds = [displacement_bounds(co, w, h, cam_center_norm, scale) for co in coeffs]
+    if any(b is None for b in bounds):
+        return None
+    dyb = (min(b[0][0] for b in bounds), max(b[0][1] for b in bounds))
+    dxb = (min(b[1][0] for b in bounds), max(b[1][1] for b in bounds))
+
+    if len(set(coeffs)) == 1:
+        mx, my = compute_remapping_table(coeffs[0], w, h, cam_center_norm, scale)
+        mx = jnp.clip(mx, 0, w - 1)
+        my = jnp.clip(my, 0, h - 1)
+    else:
+        xs, ys = [], []
+        for co in coeffs:
+            a, b = compute_remapping_table(co, w, h, cam_center_norm, scale)
+            xs.append(jnp.clip(a, 0, w - 1))
+            ys.append(jnp.clip(b, 0, h - 1))
+        mx, my = jnp.stack(xs), jnp.stack(ys)
+
+    from ..ops.pallas_kernels import remap_bounded_pallas
+
+    out = remap_bounded_pallas(
+        jnp.moveaxis(image, -1, 0), mx, my, dyb, dxb, interpolation
+    )
+    if out is None:
+        return None
+    return jnp.moveaxis(out, 0, -1)
+
+
 def warp_channel_rectilinear(
     channel: Array,
     coeffs,

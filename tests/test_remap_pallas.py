@@ -1,10 +1,13 @@
 """Interpret-mode parity for the banded Pallas remap kernel.
 
 The kernel (ops/pallas_kernels.remap_bounded_pallas) reimplements the bounded
-remaps (ops/resample.py) as one VMEM pass. Values match the gather remaps up to
-FMA-contraction noise: interpret-mode Pallas evaluates a*(1-f)+b*f unfused while
-XLA contracts it, so parity here is gated at a few ulp (on-chip parity is
-measured separately by benchmarks/remap_pallas_check.py).
+remaps (ops/resample.py) as one VMEM pass. Bilinear values match the gather
+remaps up to FMA-contraction noise (interpret-mode Pallas evaluates
+a*(1-f)+b*f unfused while XLA contracts it): gated at a few ulp. Lanczos4
+additionally uses the polynomial tap weights (resample._LANCZOS4_POLY,
+<= 5.4e-7 per weight; the exact-sin weights dominated kernel runtime), so its
+gates sit at ~2e-5 — still ~100x tighter than cv2's own fixed-point weight
+quantization. On-chip parity is measured by benchmarks/remap_pallas_check.py.
 """
 from __future__ import annotations
 
@@ -52,7 +55,8 @@ def test_remap_pallas_matches_gather(kind):
     want = np.asarray(ref(img, mx, my))
     got = remap_bounded_pallas(img, mx, my, dyb, dxb, kind, interpret=True)
     assert got is not None
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+    atol = 5e-7 if kind == "bilinear" else 2e-5
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=0)
 
 
 @pytest.mark.parametrize("kind", ["bilinear", "lanczos4"])
@@ -71,7 +75,8 @@ def test_remap_pallas_matches_xla_bounded_multiband(kind):
         img, mx, my, dyb, dxb, kind, tile_h=16, interpret=True
     )
     assert got is not None
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+    atol = 5e-7 if kind == "bilinear" else 2e-5
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=0)
 
 
 def test_remap_pallas_asymmetric_bounds():
@@ -90,7 +95,7 @@ def test_remap_pallas_asymmetric_bounds():
     want = np.asarray(remap_lanczos4(img, mx, my))
     got = remap_bounded_pallas(img, mx, my, dyb, dxb, "lanczos4", interpret=True)
     assert got is not None
-    np.testing.assert_allclose(np.asarray(got), want, atol=5e-7, rtol=0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=0)
 
 
 @pytest.mark.skipif(
@@ -135,6 +140,63 @@ def test_remap_pallas_inside_shard_map():
     got = np.asarray(sharded(img, mx, my))
     want = np.asarray(local(img, mx, my))
     np.testing.assert_allclose(got, want, atol=5e-7, rtol=0)
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_remap_pallas_channel_stack(shared):
+    """(C, H, W) batched launch: shared (H, W) maps DMA once; per-channel
+    (C, H, W) maps select their own. Every channel must match its own 2-D
+    kernel result exactly (same code path, same bands)."""
+    rng = np.random.default_rng(11)
+    h, w = 40, 150
+    img = jnp.asarray(rng.random((3, h, w), np.float32))
+    mx0, my0, dyb, dxb = _radial_jitter_maps(h, w, seed=12)
+    if shared:
+        mx, my = mx0, my0
+        per_chan = [(mx0, my0)] * 3
+    else:
+        maps = [_radial_jitter_maps(h, w, k1=0.02 + 0.02 * i, seed=13 + i)
+                for i in range(3)]
+        dyb = (min(m[2][0] for m in maps), max(m[2][1] for m in maps))
+        dxb = (min(m[3][0] for m in maps), max(m[3][1] for m in maps))
+        mx = jnp.stack([m[0] for m in maps])
+        my = jnp.stack([m[1] for m in maps])
+        per_chan = [(m[0], m[1]) for m in maps]
+
+    got = remap_bounded_pallas(
+        img, mx, my, dyb, dxb, "lanczos4", tile_h=16, interpret=True
+    )
+    assert got is not None
+    for ci in range(3):
+        want = remap_bounded_pallas(
+            img[ci], per_chan[ci][0], per_chan[ci][1], dyb, dxb, "lanczos4",
+            tile_h=16, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got)[ci], np.asarray(want))
+
+
+def test_remap_pallas_shared_image_per_channel_maps():
+    """(H, W) source + (C, H, W) maps: one HBM copy of the source, each
+    channel remapped by its own map (the CA G-warp pattern)."""
+    rng = np.random.default_rng(21)
+    h, w = 32, 140
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    m0 = _radial_jitter_maps(h, w, k1=0.03, seed=22)
+    m1 = _radial_jitter_maps(h, w, k1=0.07, seed=23)
+    dyb = (min(m0[2][0], m1[2][0]), max(m0[2][1], m1[2][1]))
+    dxb = (min(m0[3][0], m1[3][0]), max(m0[3][1], m1[3][1]))
+    mx = jnp.stack([m0[0], m1[0]])
+    my = jnp.stack([m0[1], m1[1]])
+
+    got = remap_bounded_pallas(
+        img, mx, my, dyb, dxb, "bilinear", tile_h=16, interpret=True
+    )
+    assert got is not None and got.shape == (2, h, w)
+    for ci, m in enumerate((m0, m1)):
+        want = remap_bounded_pallas(
+            img, m[0], m[1], dyb, dxb, "bilinear", tile_h=16, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got)[ci], np.asarray(want))
 
 
 def test_remap_bounded_dispatch_cpu_falls_back():
