@@ -64,6 +64,19 @@ def main() -> None:
 
     cfg = DevelopConfig(quality=QualityDemosaic.Fast)
     t("full Fast develop ", lambda f: develop(f, cfg), frame)
+
+    # unfused composition (the pre-round-3 shipping path) for comparison
+    from pysp_tpu.colorimetry.transforms import cam_to_lin_srgb_matrix
+    from pysp_tpu.pipeline.develop import _color_tail_channels
+
+    def unfused(f):
+        r_, g_, b_ = demosaic_eag_channels(f)
+        mat = cam_to_lin_srgb_matrix(f.cam_mat, f.cam_white)
+        return jnp.stack(
+            _color_tail_channels(r_, g_, b_, mat, True, True), axis=-1
+        )
+
+    t("unfused develop   ", unfused, frame)
     t("demosaic channels ", lambda f: jnp.stack(demosaic_eag_channels(f), -1),
       frame)
 

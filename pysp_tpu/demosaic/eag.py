@@ -40,14 +40,14 @@ def simple_delta_mix_bilinear(top: Array, bottom: Array, left: Array, right: Arr
     return avg_y * strength_x + avg_x * strength_y
 
 
-def resample_g_to_full_resolution(
+def _eag_g_phases(
     g1: Array, g2: Array, use_bilinear_weighting: bool = True
-) -> Array:
-    """Fill G to sensor resolution from the two green phases (edge_assisted_gaussian.py:51-124).
+) -> Tuple[Array, Array]:
+    """Interpolated G at the R and B photosites, as quarter-res phase planes.
 
-    Original photosites are preserved; the missing R/B positions are interpolated from
-    the 4 cardinal greens (reflect padding hides the borders).
-    """
+    The polyphase core of ``resample_g_to_full_resolution`` (same slices, same
+    border reflection on the quarter-res planes), kept un-interleaved so the
+    fused Fast develop can stay in phase space end to end."""
     g1p = pad_reflect(g1, 1)
     g2p = pad_reflect(g2, 1)
 
@@ -71,7 +71,18 @@ def resample_g_to_full_resolution(
     else:
         r = simple_delta_mix_bilinear(r_t, r_b, r_l, r_r)
         b = simple_delta_mix_bilinear(b_t, b_b, b_l, b_r)
+    return r, b
 
+
+def resample_g_to_full_resolution(
+    g1: Array, g2: Array, use_bilinear_weighting: bool = True
+) -> Array:
+    """Fill G to sensor resolution from the two green phases (edge_assisted_gaussian.py:51-124).
+
+    Original photosites are preserved; the missing R/B positions are interpolated from
+    the 4 cardinal greens (reflect padding hides the borders).
+    """
+    r, b = _eag_g_phases(g1, g2, use_bilinear_weighting)
     return rgbg_to_bayer(r, g1, b, g2)
 
 
@@ -126,6 +137,109 @@ def resample_b(b: Array, g_upscaled: Array) -> Array:
     g_hf_cut = g_upscaled - gaussian_blur3(g_upscaled)
     g_b = bayer_to_rgbg(g_upscaled)[2]
     return resample_channel(b, g_b, g_hf_cut, BayerPatternPosition.BOTTOM_RIGHT)
+
+
+def _blur3_phases(quad):
+    """``gaussian_blur3`` of the full-res interleave, computed per phase.
+
+    Separable [a, b, a] passes in phase space: for output row-phase 0 the
+    vertical taps are (P1[i-1], P0[i], P1[i]); for row-phase 1 they are
+    (P0[i], P1[i], P0[i+1]). The full-res reflect101 border maps full row -1
+    to full row +1 — which in phase space is the OPPOSITE-parity plane's row 0,
+    i.e. a replicate pad on the shifted plane (same for columns). Values match
+    the interleaved ``gaussian_blur3`` to conv-association order (~1 ulp)."""
+    import math
+
+    from ..ops.stencil import GAUSSIAN3_SIGMA1, pad_replicate, shift2d
+
+    # GAUSSIAN3_SIGMA1 = outer(g, g) for the 1-D taps g = (s1, c1, s1)
+    c1 = math.sqrt(float(GAUSSIAN3_SIGMA1[1, 1]))
+    s1 = float(GAUSSIAN3_SIGMA1[0, 1]) / c1
+
+    def pass_axis(q, axis):
+        (p00, p01), (p10, p11) = q
+
+        def up1(p):  # p[i-1] with replicate border
+            return shift2d(p, -1, 0, pad_replicate) if axis == 0 else shift2d(p, 0, -1, pad_replicate)
+
+        def dn1(p):  # p[i+1] with replicate border
+            return shift2d(p, 1, 0, pad_replicate) if axis == 0 else shift2d(p, 0, 1, pad_replicate)
+
+        if axis == 0:
+            o00 = s1 * up1(p10) + c1 * p00 + s1 * p10
+            o01 = s1 * up1(p11) + c1 * p01 + s1 * p11
+            o10 = s1 * p00 + c1 * p10 + s1 * dn1(p00)
+            o11 = s1 * p01 + c1 * p11 + s1 * dn1(p01)
+        else:
+            o00 = s1 * up1(p01) + c1 * p00 + s1 * p01
+            o10 = s1 * up1(p11) + c1 * p10 + s1 * p11
+            o01 = s1 * p00 + c1 * p01 + s1 * dn1(p00)
+            o11 = s1 * p10 + c1 * p11 + s1 * dn1(p10)
+        return ((o00, o01), (o10, o11))
+
+    return pass_axis(pass_axis(quad, 0), 1)
+
+
+def _phase_upsample_quad(plane: Array, position: BayerPatternPosition):
+    """``_phase_upsample`` without the interleave: the 4 phase planes directly."""
+    k_tl, k_tr, k_bl, k_br = get_rgbg_kernel(position)
+    return (
+        (filter2d(plane, k_tl), filter2d(plane, k_tr)),
+        (filter2d(plane, k_bl), filter2d(plane, k_br)),
+    )
+
+
+def develop_channels_eag(
+    frame: RawFrame, clip_highlights: bool, gamma_encode: bool
+):
+    """Fused Fast develop: the whole EAG pipeline + color tail in phase space.
+
+    The unfused path interleaves full-res G (one relayout), deinterleaves it
+    again for the R/B guides, interleaves the upsampled R and B (two more
+    relayouts), and runs blur3 + the color tail at full resolution — the
+    EAG roofline probe (benchmarks/eag_probe.py) measured those relayout
+    passes, not the math, as the Fast tier's cost. Here every stage stays on
+    the four CFA phase planes (the megakernel's polyphase trick, pure XLA):
+    G fill and blur3 are phase stencils, the photosite-phase R/B convolutions
+    already produce phases, the (pointwise) color tail runs per phase, and the
+    full-res image is assembled ONCE per channel. Same taps as the unfused
+    path up to conv/association rounding order (parity-gated in
+    tests/test_demosaic.py)."""
+    from ..colorimetry.transforms import cam_to_lin_srgb_matrix
+    from ..ops.polyphase import quad_to_bayer
+    from ..pipeline.develop import _color_tail_channels
+
+    r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
+    wb = frame.wb_reciprocal()
+
+    gr, gb = _eag_g_phases(g1, g2)
+    w1 = wb[1]
+    gq = ((gr * w1, g1 * w1), (g2 * w1, gb * w1))
+    gblur = _blur3_phases(gq)
+    ghf = tuple(
+        tuple(gq[py][px] - gblur[py][px] for px in (0, 1)) for py in (0, 1)
+    )
+
+    rq = _phase_upsample_quad(r * wb[0], BayerPatternPosition.TOP_LEFT)
+    bq = _phase_upsample_quad(b * wb[2], BayerPatternPosition.BOTTOM_RIGHT)
+
+    mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+    tailed = [[[None, None], [None, None]] for _ in range(3)]
+    for py in (0, 1):
+        for px in (0, 1):
+            ir, ig, ib = _color_tail_channels(
+                rq[py][px] + ghf[py][px],
+                gq[py][px],
+                bq[py][px] + ghf[py][px],
+                mat,
+                clip_highlights,
+                gamma_encode,
+            )
+            for k, v in ((0, ir), (1, ig), (2, ib)):
+                tailed[k][py][px] = v
+    return tuple(
+        quad_to_bayer((tuple(tailed[k][0]), tuple(tailed[k][1]))) for k in range(3)
+    )
 
 
 def demosaic_eag_channels(frame: RawFrame):

@@ -134,6 +134,14 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
         # (17% over the separable upsample at 24 MP; ~1-ulp association delta).
         srgb = develop_channels_draft(frame, cfg.clip_highlights, cfg.gamma_encode)
 
+    if srgb is None and cfg.quality == QualityDemosaic.Fast and frame.bayer.ndim == 2:
+        from ..demosaic.eag import develop_channels_eag
+
+        # Polyphase fused Fast: the whole EAG + tail in phase space, one
+        # full-res assembly per channel (the mid-pipeline interleaves were the
+        # tier's cost — see benchmarks/eag_probe.py and the BASELINE.md entry).
+        srgb = develop_channels_eag(frame, cfg.clip_highlights, cfg.gamma_encode)
+
     if srgb is None:
         r, g, b = _demosaic_channels(frame, cfg)
         mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)

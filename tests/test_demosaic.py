@@ -169,6 +169,40 @@ def test_develop_draft_fused_matches_separable(scene):
         assert p > 100, (clip, gamma, p)
 
 
+def test_develop_fast_fused_matches_separable(scene):
+    """The polyphase fused Fast (EAG) develop == unfused demosaic + full-res
+    tail. Identical slices/taps; blur3 runs as two separable phase passes
+    instead of one 9-tap conv (association order, ~1 ulp) — structural bugs
+    (phase mix-up, wrong border parity, HF mis-add) land far below the gate."""
+    from pysp_tpu.colorimetry.transforms import cam_to_lin_srgb_matrix
+    from pysp_tpu.demosaic.eag import demosaic_eag_channels, develop_channels_eag
+    from pysp_tpu.pipeline.develop import _color_tail_channels
+
+    _, bayer = scene
+    frame = make_frame(bayer)
+    for clip, gamma in ((True, True), (False, False)):
+        cfg = DevelopConfig(
+            quality=QualityDemosaic.Fast, clip_highlights=clip, gamma_encode=gamma
+        )
+        got = np.asarray(develop(frame, cfg))  # dispatches the fused path
+        fused = np.stack(
+            [np.asarray(c) for c in develop_channels_eag(frame, clip, gamma)],
+            axis=-1,
+        )
+        # develop() really took the fused path (jit-vs-eager FMA rounding only)
+        np.testing.assert_allclose(got, fused, atol=2e-6)
+
+        r, g, b = demosaic_eag_channels(frame)
+        mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+        want = np.stack(
+            [np.asarray(c) for c in _color_tail_channels(r, g, b, mat, clip, gamma)],
+            axis=-1,
+        )
+        p = psnr(got, want)
+        assert p > 100, (clip, gamma, p)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_develop_jit_and_pattern_roundtrip(scene):
     _, bayer = scene
     cfg = DevelopConfig(quality=QualityDemosaic.Draft)

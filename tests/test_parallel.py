@@ -67,6 +67,51 @@ def test_burst_sharded_develop():
 
 
 @requires_multi
+def test_pallas_kernel_inside_shard_map_fast():
+    """Non-slow guard for the Pallas-inside-shard_map invariant (VERDICT r2
+    item 4): a Pallas kernel (interpret mode) launched from INSIDE shard_map
+    must compile and match the monolithic per-item launches bit-exactly.
+    Uses the cheap banded heal kernel so the default suite always exercises
+    the shard_map+Pallas composition (check_vma plumbing, ShapeDtypeStruct
+    outputs); the full megakernel-under-shard_map parity runs in the slow set
+    and on-chip (benchmarks/shard_pallas_check.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from pysp_tpu.ops.pallas_kernels import masked_fill_pallas
+
+    rng = np.random.default_rng(33)
+    n = 2
+    chan = rng.random((n, 4, 8, 128)).astype(np.float32)
+    mask = rng.random((n, 4, 8, 128)) < 3e-3
+    mask[0, 0, 0, 0] = mask[1, 2, 7, 127] = True
+    mask[0, 1, 5:8, 10:13] = True
+
+    def heal_one(args):
+        c, m = args
+        out = masked_fill_pallas(c, m, tile_h=8, interpret=True)
+        assert out is not None, "Pallas heal fell back inside shard_map"
+        return out
+
+    mesh = make_mesh((n, 1))
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda c, m: jax.lax.map(heal_one, (c, m)),
+            mesh=mesh,
+            in_specs=(P("batch"), P("batch")),
+            out_specs=P("batch"),
+            check_vma=False,  # Pallas outputs carry no vma (see parallel/spatial.py)
+        )
+    )
+    got = np.asarray(sharded(jnp.asarray(chan), jnp.asarray(mask)))
+
+    for i in range(n):
+        want = masked_fill_pallas(
+            jnp.asarray(chan[i]), jnp.asarray(mask[i]), tile_h=8, interpret=True
+        )
+        np.testing.assert_array_equal(got[i], np.asarray(want))
+
+
+@requires_multi
 @pytest.mark.slow
 def test_spatial_sharded_pallas_megakernel_interpret():
     """The Pallas megakernel runs INSIDE shard_map (interpret mode on the virtual
