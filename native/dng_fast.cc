@@ -987,4 +987,75 @@ int64_t orf_encode(const uint16_t* values, int32_t h, int32_t w, uint8_t* out,
   return total;
 }
 
+// --- Pentax PEF (pentax_load_raw semantics; twin of io/pef.py::pef_decode) ---
+// Plain MSB-first bitstream; the Huffman code is given as per-symbol 12-bit
+// left-aligned prefixes + code lengths (MakerNote tag 0x0220). Decode peeks
+// 12 bits through a 4096-entry LUT. Residuals are JPEG-lossless style; the
+// predictor uses two per-row-parity vertical seeds then horizontal DPCM per
+// column parity. Out-of-range predictions clamp (divergence from dcraw's
+// abort; see io/pef.py header). Returns 0 on success.
+int pef_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
+               int32_t w, const uint16_t* prefixes, const uint8_t* lengths,
+               int32_t dep, int32_t bits) {
+  if (dep < 1 || dep > 15 || bits < 8 || bits > 16) return -1;
+  uint16_t lut[4096];
+  std::memset(lut, 0, sizeof(lut));
+  for (int c = 0; c < dep; ++c) {
+    int ln = lengths[c];
+    if (ln < 1 || ln > 12) return -1;
+    int n = 4096 >> ln;
+    int p = prefixes[c];
+    if (p + n > 4096) return -1;
+    for (int i = 0; i < n; ++i) lut[p + i] = static_cast<uint16_t>((ln << 8) | c);
+  }
+  int64_t bitpos = 0;
+  const int64_t nbits_total = len * 8;
+  auto peek12 = [&]() -> int {
+    int v = 0;
+    for (int k = 0; k < 12; ++k) {
+      int64_t p = bitpos + k;
+      int byte = p < nbits_total ? data[p >> 3] : 0;
+      v = (v << 1) | ((byte >> (7 - (p & 7))) & 1);
+    }
+    return v;
+  };
+  auto getn = [&](int n) -> int {
+    int v = 0;
+    for (int k = 0; k < n; ++k) {
+      int64_t p = bitpos + k;
+      int byte = p < nbits_total ? data[p >> 3] : 0;
+      v = (v << 1) | ((byte >> (7 - (p & 7))) & 1);
+    }
+    bitpos += n;
+    return v;
+  };
+  int vpred[2][2] = {{0, 0}, {0, 0}};
+  int hpred[2] = {0, 0};
+  const int lim = (1 << bits) - 1;
+  for (int32_t row = 0; row < h; ++row) {
+    for (int32_t col = 0; col < w; ++col) {
+      uint16_t e = lut[peek12()];
+      int ln = e >> 8;
+      if (ln == 0) return -2;
+      bitpos += ln;
+      int sym = e & 0xFF;
+      int diff = 0;
+      if (sym) {
+        int v = getn(sym);
+        diff = v >= (1 << (sym - 1)) ? v : v - (1 << sym) + 1;
+      }
+      if (col < 2) {
+        vpred[row & 1][col] += diff;
+        hpred[col] = vpred[row & 1][col];
+      } else {
+        hpred[col & 1] += diff;
+      }
+      int v = hpred[col & 1];
+      out[static_cast<int64_t>(row) * w + col] =
+          static_cast<uint16_t>(v < 0 ? 0 : (v > lim ? lim : v));
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -40,6 +40,7 @@ from .io.arw import load_raw_arw
 from .io.cr2 import load_raw_cr2
 from .io.nef import load_raw_nef
 from .io.orf import load_raw_orf
+from .io.pef import load_raw_pef
 from .io.raf import load_raw_raf
 from .io.rw2 import load_raw_rw2
 from .io.camera_matrices import register_camera_matrices
@@ -129,6 +130,7 @@ __all__ = [
     "load_raw_dng",
     "load_raw_nef",
     "load_raw_orf",
+    "load_raw_pef",
     "load_raw_raf",
     "load_raw_rw2",
     "register_camera_matrices",

@@ -20,7 +20,7 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument(
         "inputs",
         nargs="+",
-        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF built in; others via rawpy)",
+        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF built in; others via rawpy)",
     )
     dev.add_argument("-o", "--output", help="output path (single input) or directory")
     dev.add_argument(
@@ -291,6 +291,7 @@ def _info(args) -> int:
     from .io.cr2 import is_cr2
     from .io.nef import is_nef
     from .io.orf import is_orf
+    from .io.pef import is_pef
     from .io.raf import is_raf
     from .io.rw2 import is_rw2
 
@@ -330,6 +331,7 @@ def _info(args) -> int:
             else "ARW" if is_arw(args.input)
             else "RW2" if is_rw2(args.input)
             else "ORF" if is_orf(args.input)
+            else "PEF" if is_pef(args.input)
             else "DNG/TIFF"
         )
         raw = tf.find_raw_ifd()
@@ -353,7 +355,7 @@ def _info(args) -> int:
         out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
     except KeyError:
         out["as_shot_neutral"] = None
-    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2", "ORF"):
+    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2", "ORF", "PEF"):
         # MakerNote formats carry WB outside the DNG EXIF tags; the format
         # loaders extract it — decode (host-side) and report the frame's neutral
         try:

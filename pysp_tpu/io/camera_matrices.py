@@ -84,9 +84,19 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
     # Fujifilm Bayer bodies (RAF; X-Trans models are not decodable here)
     "GFX 50S": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
     "GFX 50R": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
+    # Pentax (PEF)
+    "K10D": (9566, -2863, -803, -7170, 15172, 2112, -818, 803, 9705),
+    "K20D": (9427, -2714, -868, -7493, 16092, 1373, -2199, 3264, 7180),
+    "K-5": (8713, -2833, -743, -4342, 11900, 2772, -722, 1543, 6247),
+    "K-5 II": (8170, -2725, -639, -4440, 12017, 2744, -771, 1465, 6599),
+    "K-3": (7415, -2052, -721, -5186, 12788, 2682, -1446, 2157, 6773),
+    "K-1": (8566, -2746, -1201, -3612, 12204, 1550, -893, 1680, 6264),
 }
 
-_MAKER_PREFIXES = ("CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ", "FUJIFILM ")
+_MAKER_PREFIXES = (
+    "CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ", "FUJIFILM ",
+    "PENTAX ", "RICOH ",
+)
 
 
 def _norm_model(model: str) -> str:

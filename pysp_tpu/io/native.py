@@ -129,6 +129,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
         ]
+        lib.pef_decode.restype = ctypes.c_int
+        lib.pef_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
     except AttributeError:
         pass
     _LIB = lib
@@ -343,6 +355,44 @@ def orf_encode(values: np.ndarray) -> bytes:
     if n < 0:
         raise ValueError(f"ORF encode failed (code {n})")
     return out[:n].tobytes()
+
+
+def has_pef() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "pef_decode")
+
+
+def pef_decode(
+    blob: bytes, height: int, width: int, spec_blob: bytes, endian: str,
+    bits: int = 12,
+) -> np.ndarray:
+    """Decode a Pentax compressed strip -> (H, W) uint16 (io/pef.py fast path).
+
+    ``spec_blob`` is the MakerNote 0x0220 value; it is parsed host-side (the
+    container's endianness applies) and handed to the native LUT decoder."""
+    from .pef import parse_huff_spec
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "pef_decode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    prefixes, lengths = parse_huff_spec(spec_blob, endian)
+    pre = np.ascontiguousarray(prefixes, np.uint16)
+    lens = np.ascontiguousarray(lengths, np.uint8)
+    out = np.empty((height, width), np.uint16)
+    rc = lib.pef_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+        pre.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(lens),
+        bits,
+    )
+    if rc != 0:
+        raise ValueError(f"PEF decode failed (code {rc})")
+    return out
 
 
 def nef_encode(img: np.ndarray, tree_idx: int, vpred: np.ndarray) -> bytes:

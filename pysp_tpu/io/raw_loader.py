@@ -236,7 +236,7 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
@@ -277,6 +277,11 @@ def load_raw(source: Source) -> RawFrame:
             if "unsupported RawFormat" not in str(e):
                 raise
 
+    from .pef import is_pef, load_raw_pef
+
+    if is_pef(source):
+        return load_raw_pef(source)
+
     try:
         return load_raw_dng(source)
     except (ValueError, KeyError, NotImplementedError):
@@ -291,8 +296,8 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF decoders and rawpy "
-            "is not installed for other formats."
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF decoders "
+            "and rawpy is not installed for other formats."
         ) from e
 
     from io import BytesIO

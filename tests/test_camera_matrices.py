@@ -82,3 +82,19 @@ def test_cr2_load_uses_registry_matrix(tmp_path):
     # with a single calibration matrix the controller's optimal matrix IS it
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert not np.allclose(got, _generic_mat(), atol=1e-3)
+
+
+def test_pef_load_uses_registry_matrix(tmp_path):
+    """A PENTAX K-5 PEF fixture loads the Adobe matrix, not the generic fallback."""
+    from pysp_tpu.io.pef import write_synthetic_pef
+    from pysp_tpu.io.raw_loader import load_raw
+
+    rng = np.random.default_rng(8)
+    bayer = rng.integers(100, 4000, (16, 24)).astype(np.uint16)
+    p = tmp_path / "body.pef"
+    p.write_bytes(write_synthetic_pef(bayer, model=b"PENTAX K-5"))
+    frame = load_raw(str(p))
+    got = np.asarray(frame.cam_mat)
+    want = lookup_camera_matrices("PENTAX K-5")[0].mat
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert not np.allclose(got, _generic_mat(), atol=1e-3)
