@@ -87,6 +87,23 @@ def main() -> None:
     t("pallas remap 2-stack", lambda i, x, y: remap_bounded_pallas(i, x, y, bb, bb, "bilinear"),
       img2, mx2, my2)
 
+    from pysp_tpu.correct.ca.removal import _model_row_zones
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_zoned
+
+    zones = _model_row_zones((model, model), fh, fw, "inv")
+    print(f"[ca] inv zones: {zones}", flush=True)
+    if zones is not None:
+        t("zoned remap shared  ",
+          lambda i, x, y: remap_bounded_pallas_zoned(i, x, y, zones, "bilinear"),
+          g_full, mx2, my2)
+        t("zoned remap 2-stack ",
+          lambda i, x, y: remap_bounded_pallas_zoned(i, x, y, zones, "bilinear"),
+          img2, mx2, my2)
+        z = remap_bounded_pallas_zoned(img2, mx2, my2, zones, "bilinear")
+        u = remap_bounded_pallas(img2, mx2, my2, bb, bb, "bilinear")
+        diff = float(jnp.abs(z - u).max())
+        print(f"[ca] zoned vs unzoned maxdiff: {diff}", flush=True)
+
     t("R+B guide resample  ",
       lambda rv, bv, gv: resample_r(rv, gv) + resample_b(bv, gv), r, b, g_full)
 

@@ -112,6 +112,61 @@ def _model_bound_px(model, h: int, w: int, cap: int = 12) -> Optional[int]:
     return bound if bound <= cap else None
 
 
+def _model_row_zones(
+    models, h: int, w: int, kind: str, n_zones: int = 4, margin: int = 1
+):
+    """Per-row-zone displacement bounds of the models' remaps (host-side).
+
+    dy = y * (s(r) - 1) concentrates at the top/bottom rows AND is one-sided
+    per map direction (the Newton inverse displaces opposite to the forward
+    map), so per-launch per-zone dy bounds are roughly half the global span —
+    the zoned banded remap's select chains shrink accordingly. ``kind``
+    selects the map: "inv" for the G-alignment warps
+    (get_undistorted_coordinates), "fwd" for the back-warps. Bounds are the
+    union over the given models only. Returns zones for
+    remap_bounded_pallas_zoned, or None when a model misbehaves."""
+    import jax
+
+    if h < 8 * n_zones:
+        return None
+    try:
+        with jax.ensure_compile_time_eval():
+            rs = jnp.asarray(np.linspace(1e-4, 1.0, 4096), jnp.float32)
+            scales = []
+            for m in models:
+                if kind == "fwd":
+                    f = np.asarray(m.get_distorted(rs), np.float64)
+                else:
+                    f = np.asarray(m.estimate_undistorted(rs), np.float64)
+                scales.append(f / np.asarray(rs, np.float64) - 1.0)
+    except Exception:
+        return None
+    if not all(np.isfinite(s).all() for s in scales):
+        return None
+    rs64 = np.linspace(1e-4, 1.0, 4096)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    r_corner = float(np.hypot(cy, cx))
+    xs = np.linspace(-cx, cx, 129)
+    edges = [0] + [((h * i) // n_zones) & ~7 for i in range(1, n_zones)] + [h]
+    zones = []
+    for r0, r1 in zip(edges, edges[1:]):
+        ys = np.linspace(r0, r1 - 1, max(17, (r1 - r0) // 8)) - cy
+        yg, xg = np.meshgrid(ys, xs, indexing="ij")
+        r = np.clip(np.hypot(yg, xg) / r_corner, 1e-4, 1.0)
+        dy_lo = dy_hi = dx_lo = dx_hi = 0.0
+        for sm1 in scales:
+            s = np.interp(r, rs64, sm1)
+            dy, dx = yg * s, xg * s
+            dy_lo, dy_hi = min(dy_lo, dy.min()), max(dy_hi, dy.max())
+            dx_lo, dx_hi = min(dx_lo, dx.min()), max(dx_hi, dx.max())
+        zones.append((
+            r0, r1,
+            (int(np.floor(dy_lo)) - margin, int(np.floor(dy_hi)) + margin),
+            (int(np.floor(dx_lo)) - margin, int(np.floor(dx_hi)) + margin),
+        ))
+    return zones
+
+
 def remove_ca_from_raw(
     frame: RawFrame,
     lens_model_r: Optional[CaCorrectionModel],
@@ -190,20 +245,31 @@ def _remove_ca_batched(
     bound_b = _model_bound_px(lens_model_b, fh, fw)
     if bound_r is None or bound_b is None:
         return None
-    from ...ops.pallas_kernels import remap_bounded_pallas
+    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
 
     bb = (-max(bound_r, bound_b), max(bound_r, bound_b))
+    both = (lens_model_r, lens_model_b)
+    zones_inv = _model_row_zones(both, fh, fw, "inv")
+    zones_fwd = _model_row_zones(both, fh, fw, "fwd")
 
     def maps2(coords_a, coords_b):
         xa, ya = _maps_from_offsets(coords_a, fh, fw)
         xb, yb = _maps_from_offsets(coords_b, fh, fw)
         return jnp.stack([xa, xb]), jnp.stack([ya, yb])
 
+    def launch(img, mx, my, zones):
+        out = None
+        if zones is not None:
+            out = remap_bounded_pallas_zoned(img, mx, my, zones, "bilinear")
+        if out is None:
+            out = remap_bounded_pallas(img, mx, my, bb, bb, "bilinear")
+        return out
+
     mx, my = maps2(
         lens_model_r.get_undistorted_coordinates(g_resampled),
         lens_model_b.get_undistorted_coordinates(g_resampled),
     )
-    g_at = remap_bounded_pallas(g_resampled, mx, my, bb, bb, "bilinear")
+    g_at = launch(g_resampled, mx, my, zones_inv)
     if g_at is None:
         return None
 
@@ -214,9 +280,7 @@ def _remove_ca_batched(
         lens_model_r.get_distorted_coordinates(r_resampled),
         lens_model_b.get_distorted_coordinates(b_resampled),
     )
-    back = remap_bounded_pallas(
-        jnp.stack([r_resampled, b_resampled]), mx2, my2, bb, bb, "bilinear"
-    )
+    back = launch(jnp.stack([r_resampled, b_resampled]), mx2, my2, zones_fwd)
     if back is None:
         return None
 

@@ -1048,6 +1048,68 @@ def _remap_kernel(
     out_ref[0] = res[:, :width]
 
 
+def remap_bounded_pallas_zoned(
+    img: Array, map_x: Array, map_y: Array,
+    zones, kind: str = "bilinear",
+    tile_h: int = 0, interpret: bool = False,
+):
+    """Row-zoned banded remap: one kernel launch per horizontal zone, each with
+    that zone's own (tighter) displacement bounds.
+
+    The select-chain cost of ``remap_bounded_pallas`` grows with the bound
+    SPAN, but radial warps concentrate vertical displacement at the top/bottom
+    rows: per-zone dy bounds are one-sided and roughly half the global span
+    (benchmarks/ca_probe.py), so zoning nearly halves the dominant row-select
+    cost. ``zones`` is a sequence of (r0, r1, (dy0, dy1), (dx0, dx1)) covering
+    [0, H) in order — computed HOST-side by the caller from the warp model
+    (warp.rectilinear.displacement_bounds(row_range=...) or
+    correct.ca.removal model bounds).
+
+    BIT-EXACT vs the unzoned kernel: each zone re-bases the source window by
+    an integer w0 <= map magnitude, and f32 subtraction of an integer multiple
+    of the map's ulp is exact, so floor/fraction (and therefore every tap and
+    weight) are unchanged (gated in tests/test_remap_pallas.py).
+    """
+    squeeze = img.ndim == 2 and map_x.ndim == 2
+    img3 = img[None] if img.ndim == 2 else img
+    if img3.ndim != 3 or map_x.shape != map_y.shape:
+        return None
+    h = img3.shape[-2]
+    if not zones or zones[0][0] != 0 or zones[-1][1] != h:
+        return None
+    for (a, b, _, _), (c, d, _, _) in zip(zones, zones[1:]):
+        if b != c:
+            return None
+    reach = 4 if kind == "lanczos4" else 1
+
+    parts = []
+    for r0, r1, dyb, dxb in zones:
+        dy0, dy1 = int(dyb[0]), int(dyb[1])
+        w0 = max(0, r0 + dy0 - reach)
+        w1 = min(h, r1 + dy1 + reach + 1)
+        # the kernel requires map H == img H: pad the zone maps (edge rows
+        # compute clipped garbage and are sliced off) up to the window height
+        zh, wh = r1 - r0, w1 - w0
+        pad = [(0, 0)] * (map_x.ndim - 2) + [(0, wh - zh), (0, 0)]
+        mx_z = jnp.pad(map_x[..., r0:r1, :], pad, mode="edge")
+        my_z = jnp.pad(map_y[..., r0:r1, :] - float(w0), pad, mode="edge")
+        part = remap_bounded_pallas(
+            img3[:, w0:w1],
+            mx_z,
+            my_z,
+            (dy0 + r0 - w0, dy1 + r0 - w0),
+            (int(dxb[0]), int(dxb[1])),
+            kind,
+            tile_h=tile_h,
+            interpret=interpret,
+        )
+        if part is None:
+            return None
+        parts.append(part[..., :zh, :])
+    out = jnp.concatenate(parts, axis=-2)
+    return out[0] if squeeze else out
+
+
 def remap_bounded_pallas(
     img: Array, map_x: Array, map_y: Array,
     dy_bounds, dx_bounds, kind: str = "bilinear",

@@ -104,6 +104,7 @@ def displacement_bounds(
     scale: float = 1.0,
     margin: int = 3,
     cap: int = 17,
+    row_range: Optional[Tuple[int, int]] = None,
 ):
     """Static floor-index displacement bounds of the rectilinear map.
 
@@ -111,13 +112,18 @@ def displacement_bounds(
     so a ~256x256 sweep plus ``margin`` covers grid gaps and f32 rounding).
     Returns ((dy_lo, dy_hi), (dx_lo, dx_hi)) for the bounded remaps, or None
     when either range exceeds ``cap`` (select-chain cost grows with the range;
-    huge warps fall back to the gather path).
+    huge warps fall back to the gather path). ``row_range`` restricts the sweep
+    to output rows [r0, r1) — per-zone bounds for the zoned banded remap
+    (radial warps concentrate |dy| at the top/bottom rows).
     """
     import numpy as np
 
     cx, cy, m = _geometry(width, height, cam_center_norm)
     k = np.asarray(coeffs, np.float64)
-    ys = np.unique(np.r_[np.arange(0, height, max(1, height // 256)), height - 1])
+    r0, r1 = (0, height) if row_range is None else row_range
+    ys = np.unique(
+        np.r_[np.arange(r0, r1, max(1, (r1 - r0) // 256)), r1 - 1]
+    )
     xs = np.unique(np.r_[np.arange(0, width, max(1, width // 256)), width - 1])
     sy, sx = np.meshgrid(ys.astype(np.float64), xs.astype(np.float64), indexing="ij")
 
@@ -185,14 +191,55 @@ def warp_image_rectilinear(
             ys.append(jnp.clip(b, 0, h - 1))
         mx, my = jnp.stack(xs), jnp.stack(ys)
 
-    from ..ops.pallas_kernels import remap_bounded_pallas
+    from ..ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
 
-    out = remap_bounded_pallas(
-        jnp.moveaxis(image, -1, 0), mx, my, dyb, dxb, interpolation
-    )
+    out = None
+    zones = warp_row_zones(coeffs, w, h, cam_center_norm, scale)
+    if zones is not None:
+        out = remap_bounded_pallas_zoned(
+            jnp.moveaxis(image, -1, 0), mx, my, zones, interpolation
+        )
+    if out is None:
+        out = remap_bounded_pallas(
+            jnp.moveaxis(image, -1, 0), mx, my, dyb, dxb, interpolation
+        )
     if out is None:
         return None
     return jnp.moveaxis(out, 0, -1)
+
+
+def warp_row_zones(
+    coeffs_list,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+    n_zones: int = 4,
+):
+    """Per-row-zone displacement bounds for the zoned banded remap.
+
+    Radial warps put their largest |dy| at the top/bottom rows; per-zone dy
+    bounds are one-sided and roughly half the global span, nearly halving the
+    kernel's row-select cost. Returns remap_bounded_pallas_zoned's ``zones``
+    (union over the per-channel coefficient sets), or None when any zone's
+    bounds are unavailable."""
+    if height < 8 * n_zones:
+        return None
+    edges = [0] + [((height * i) // n_zones) & ~7 for i in range(1, n_zones)] + [height]
+    zones = []
+    for r0, r1 in zip(edges, edges[1:]):
+        bs = [
+            displacement_bounds(
+                co, width, height, cam_center_norm, scale, row_range=(r0, r1)
+            )
+            for co in coeffs_list
+        ]
+        if any(b is None for b in bs):
+            return None
+        dyb = (min(b[0][0] for b in bs), max(b[0][1] for b in bs))
+        dxb = (min(b[1][0] for b in bs), max(b[1][1] for b in bs))
+        zones.append((r0, r1, dyb, dxb))
+    return zones
 
 
 def warp_channel_rectilinear(

@@ -203,6 +203,7 @@ def test_class_api_on_rw2_and_orf():
     built-in formats too: full WB-controller rebuild + demosaic."""
     from pysp_tpu.compat import RawBayerDataFromRaw
     from pysp_tpu.io.orf import write_synthetic_orf
+    from pysp_tpu.io.pef import write_synthetic_pef
     from pysp_tpu.io.rw2 import write_synthetic_rw2
 
     rng = np.random.default_rng(13)
@@ -211,7 +212,8 @@ def test_class_api_on_rw2_and_orf():
     ).astype(np.uint16)
     rw2, _ = write_synthetic_rw2(vals)
     orf = write_synthetic_orf(vals)
-    for data in (rw2, orf):
+    pef = write_synthetic_pef(vals)
+    for data in (rw2, orf, pef):
         raw = RawBayerDataFromRaw(data)
         assert np.asarray(raw.sensor_scaled).shape == (32, 56)
         dev = raw.demosaic(QualityDemosaic.Fast)

@@ -210,3 +210,50 @@ def test_remap_bounded_dispatch_cpu_falls_back():
     want = np.asarray(remap_bilinear_bounded(img, mx, my, dyb, dxb))
     got = np.asarray(remap_bounded(img, mx, my, dyb, dxb, kind="bilinear"))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("kind", ["bilinear", "lanczos4"])
+def test_remap_pallas_zoned_bit_identical(kind):
+    """Row-zoned launches == the unzoned kernel BIT-exactly: each zone
+    re-bases the source window by an integer (exact f32 subtraction at map
+    magnitudes), so floor/fraction and every tap are unchanged."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_zoned
+
+    rng = np.random.default_rng(5)
+    h, w = 64, 144
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.05, seed=7)
+
+    want = remap_bounded_pallas(img, mx, my, dyb, dxb, kind, interpret=True)
+    assert want is not None
+
+    # per-zone bounds measured from the map itself (what the host helpers do
+    # from the model); zone edges at multiples of 8
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float64)
+    myn = np.asarray(my, np.float64)
+    zones = []
+    for r0, r1 in ((0, 16), (16, 40), (40, h)):
+        d = (myn - yy)[r0:r1]
+        zones.append(
+            (r0, r1,
+             (int(np.floor(d.min())) - 1, int(np.floor(d.max())) + 1),
+             dxb)
+        )
+    got = remap_bounded_pallas_zoned(img, mx, my, zones, kind, interpret=True)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_remap_pallas_zoned_channel_stack_shared_maps():
+    """Zoned path through the (C, H, W) stack + shared-map mode."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_zoned
+
+    rng = np.random.default_rng(6)
+    h, w = 48, 136
+    img = jnp.asarray(rng.random((2, h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.04, seed=9)
+    zones = [(0, 24, dyb, dxb), (24, h, dyb, dxb)]
+    want = remap_bounded_pallas(img, mx, my, dyb, dxb, "bilinear", interpret=True)
+    got = remap_bounded_pallas_zoned(img, mx, my, zones, "bilinear", interpret=True)
+    assert got is not None and got.shape == (2, h, w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
