@@ -75,16 +75,17 @@ def run_case(name, planes, mat, wb):
     return dt
 
 
-def _patched_case(name, planes, mat, wb, cbrt_fn, pow24_fn):
+def _patched_case(name, planes, mat, wb, cbrt_fn):
+    # pow24_fn plumbing was removed with the rejected hypothesis (ADVICE r2):
+    # the probe now swaps only the LAB cbrt, which carried the whole effect.
     from pysp_tpu.demosaic import ahd_band
 
     orig_band = ahd_band.ahd_band_quads
 
     def band(planes_, mat_, wb_, is_hdr, postprocess_stages=1,
-             cbrt_fn=None, pow24_fn=None, _c=cbrt_fn, _p=pow24_fn):
+             cbrt_fn=None, _c=cbrt_fn):
         return orig_band(
-            planes_, mat_, wb_, is_hdr, postprocess_stages,
-            cbrt_fn=_c, pow24_fn=_p,
+            planes_, mat_, wb_, is_hdr, postprocess_stages, cbrt_fn=_c,
         )
 
     ahd_band.ahd_band_quads = band
@@ -107,12 +108,10 @@ def main() -> None:
     explog = run_case("explog (shipping)", planes, mat, wb)
 
     newt = _patched_case(
-        "newton (rejected)", planes, mat, wb,
-        cbrt_fn=newton_cbrt, pow24_fn=newton_pow24,
+        "newton (rejected)", planes, mat, wb, cbrt_fn=newton_cbrt,
     )
     ident = _patched_case(
-        "identity (bound) ", planes, mat, wb,
-        cbrt_fn=lambda x: x, pow24_fn=lambda x: x,
+        "identity (bound) ", planes, mat, wb, cbrt_fn=lambda x: x,
     )
 
     print(f"newton vs explog: {(explog - newt) / explog * 100:+.1f}%", flush=True)

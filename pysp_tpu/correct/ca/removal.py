@@ -127,7 +127,10 @@ def _model_row_zones(
     remap_bounded_pallas_zoned, or None when a model misbehaves."""
     import jax
 
-    if h < 8 * n_zones:
+    from ...ops.pallas_kernels import row_zone_edges
+
+    edges = row_zone_edges(h, n_zones)
+    if edges is None:
         return None
     try:
         with jax.ensure_compile_time_eval():
@@ -147,7 +150,6 @@ def _model_row_zones(
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     r_corner = float(np.hypot(cy, cx))
     xs = np.linspace(-cx, cx, 129)
-    edges = [0] + [((h * i) // n_zones) & ~7 for i in range(1, n_zones)] + [h]
     zones = []
     for r0, r1 in zip(edges, edges[1:]):
         ys = np.linspace(r0, r1 - 1, max(17, (r1 - r0) // 8)) - cy

@@ -83,6 +83,32 @@ def _parse_cfa_header(data: bytes, off: int) -> dict:
     return out
 
 
+def _exif_tiff_from_jpeg(data: bytes, off: int, ln: int) -> Optional[bytes]:
+    """The TIFF inside the JPEG thumbnail's Exif APP1 segment, if any.
+
+    Real RAF files carry the EXIF exposure triplet here (the CFA-data TIFF
+    has only strip/dimension tags), so EV must be read from the thumbnail."""
+    end = min(len(data), off + ln) if ln else len(data)
+    if off <= 0 or off + 4 > end or data[off : off + 2] != b"\xff\xd8":
+        return None
+    pos = off + 2
+    while pos + 4 <= end:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA or marker == 0xD9:  # start of scan / end: no APP1 found
+            return None
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            return payload[6:]
+        pos += 2 + seg_len
+    return None
+
+
 def load_raw_raf(source: Source, color_mats=None) -> RawFrame:
     """Decode a Bayer RAF into a canonical RawFrame."""
     from ..colorimetry.wb import CameraWhiteBalanceController
@@ -188,7 +214,15 @@ def load_raw_raf(source: Source, color_mats=None) -> RawFrame:
         color_mats = resolve_camera_matrices(model or None)
     cam_wb = CameraWhiteBalanceController(color_mats, neutral)
 
-    ev = compute_ev_from_tiff(tiff_blob)
+    # EXIF lives in the JPEG thumbnail's APP1 on real RAFs; some synthetic /
+    # reprocessed files carry it in the CFA TIFF instead — try both.
+    jpeg_off, jpeg_len = struct.unpack_from(">LL", data, 84)
+    ev = float("inf")
+    exif_tiff = _exif_tiff_from_jpeg(data, jpeg_off, jpeg_len)
+    if exif_tiff is not None:
+        ev = compute_ev_from_tiff(exif_tiff)
+    if not np.isfinite(ev):
+        ev = compute_ev_from_tiff(tiff_blob)
     if not np.isfinite(ev):
         raise ValueError("Error reading exposure value from raw!")
     return frame_from_parts(sensor, pattern, cam_wb, ev)
@@ -203,12 +237,15 @@ def write_synthetic_raf(
     cfa_pattern: Tuple[int, int, int, int] = (0, 1, 1, 2),
     black_level: int = 0,
     xtrans: bool = False,
+    exif_in_jpeg: bool = False,
 ) -> bytes:
     """Assemble a structurally faithful Bayer RAF test fixture.
 
     ``stored`` is the (H, W) uint16 mosaic written as a little-endian strip in
     the embedded TIFF. ``xtrans=True`` adds the 0x131 pattern record so tests
-    can exercise the rejection path.
+    can exercise the rejection path. ``exif_in_jpeg=True`` mirrors real camera
+    files: the exposure EXIF lives in the JPEG thumbnail's APP1 segment and
+    the CFA-data TIFF carries no EXIF IFD at all.
     """
     h, w = stored.shape
     E = "<"
@@ -223,15 +260,17 @@ def write_synthetic_raf(
     sz = lambda n: 2 + 12 * n + 4  # noqa: E731
 
     # --- embedded TIFF (own address space) ---
-    n0, nexif = 10, 3
+    n0, nexif = (9, 0) if exif_in_jpeg else (10, 3)
     off_ifd0 = 8
     off_exif = off_ifd0 + sz(n0)
-    off_heap = off_exif + sz(nexif)
+    off_heap = off_exif + (sz(nexif) if nexif else 0)
     heap = b""
     off_exp = off_heap + len(heap)
-    heap += struct.pack(E + "LL", 1, 125)
+    if not exif_in_jpeg:
+        heap += struct.pack(E + "LL", 1, 125)
     off_fnum = off_heap + len(heap)
-    heap += struct.pack(E + "LL", 4, 1)
+    if not exif_in_jpeg:
+        heap += struct.pack(E + "LL", 4, 1)
     off_strip = off_heap + len(heap)
     strip = stored.astype("<u2").tobytes()
 
@@ -252,15 +291,17 @@ def write_synthetic_raf(
         T.TAG_CFA_REPEAT_PATTERN_DIM, T.TYPE_SHORT, 2, inline("HH", 2, 2)
     )
     tif += entry(T.TAG_CFA_PATTERN, T.TYPE_BYTE, 4, bytes(cfa_pattern))
-    tif += entry(T.TAG_EXIF_IFD, T.TYPE_LONG, 1, struct.pack(E + "L", off_exif))
+    if not exif_in_jpeg:
+        tif += entry(T.TAG_EXIF_IFD, T.TYPE_LONG, 1, struct.pack(E + "L", off_exif))
     tif += struct.pack(E + "L", 0)
-    tif += struct.pack(E + "H", nexif)
-    tif += entry(
-        T.TAG_EXPOSURE_TIME, T.TYPE_RATIONAL, 1, struct.pack(E + "L", off_exp)
-    )
-    tif += entry(T.TAG_F_NUMBER, T.TYPE_RATIONAL, 1, struct.pack(E + "L", off_fnum))
-    tif += entry(T.TAG_ISO_SPEED, T.TYPE_SHORT, 1, inline("H", 100))
-    tif += struct.pack(E + "L", 0)
+    if not exif_in_jpeg:
+        tif += struct.pack(E + "H", nexif)
+        tif += entry(
+            T.TAG_EXPOSURE_TIME, T.TYPE_RATIONAL, 1, struct.pack(E + "L", off_exp)
+        )
+        tif += entry(T.TAG_F_NUMBER, T.TYPE_RATIONAL, 1, struct.pack(E + "L", off_fnum))
+        tif += entry(T.TAG_ISO_SPEED, T.TYPE_SHORT, 1, inline("H", 100))
+        tif += struct.pack(E + "L", 0)
     tif += heap
     assert len(tif) == off_strip
     tif += strip
@@ -284,10 +325,38 @@ def write_synthetic_raf(
     header[0x14:0x1C] = b"FF000000"
     mb = model + b"\x00" * (0x20 - len(model))
     header[0x1C:0x3C] = mb[:0x20]
-    off_cfa_hdr = len(header)
+    jpeg = b""
+    if exif_in_jpeg:
+        # minimal JPEG thumb: SOI + APP1(Exif TIFF with the EXIF triplet) + EOI
+        et = struct.pack(E + "2sHL", b"II", 42, 8)
+        et += struct.pack(E + "H", 1)
+        et += entry(T.TAG_EXIF_IFD, T.TYPE_LONG, 1, struct.pack(E + "L", 8 + sz(1)))
+        et += struct.pack(E + "L", 0)
+        exif_heap_off = 8 + sz(1) + sz(3)
+        et += struct.pack(E + "H", 3)
+        et += entry(
+            T.TAG_EXPOSURE_TIME, T.TYPE_RATIONAL, 1,
+            struct.pack(E + "L", exif_heap_off),
+        )
+        et += entry(
+            T.TAG_F_NUMBER, T.TYPE_RATIONAL, 1,
+            struct.pack(E + "L", exif_heap_off + 8),
+        )
+        et += entry(T.TAG_ISO_SPEED, T.TYPE_SHORT, 1, inline("H", 100))
+        et += struct.pack(E + "L", 0)
+        et += struct.pack(E + "LL", 1, 125) + struct.pack(E + "LL", 4, 1)
+        app1 = b"Exif\x00\x00" + et
+        jpeg = (
+            b"\xff\xd8"
+            + b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+            + b"\xff\xd9"
+        )
+
+    off_jpeg = len(header) if jpeg else 0
+    off_cfa_hdr = len(header) + len(jpeg)
     off_cfa_data = off_cfa_hdr + len(cfa_hdr)
-    struct.pack_into(">LL", header, 84, 0, 0)  # no thumbnail
+    struct.pack_into(">LL", header, 84, off_jpeg, len(jpeg))
     struct.pack_into(
         ">LLLL", header, 92, off_cfa_hdr, len(cfa_hdr), off_cfa_data, len(tif)
     )
-    return bytes(header) + cfa_hdr + tif
+    return bytes(header) + jpeg + cfa_hdr + tif

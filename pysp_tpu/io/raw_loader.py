@@ -213,11 +213,17 @@ def controller_for_source(source: Source, frame: RawFrame):
     matrix the loader already resolved (registry per model, or Rec.709) with the
     frame's as-shot neutral — the same policy as compat.RawBayerDataFromRaw.
     """
+    import struct as _struct
+
     from . import tiff as T
     from .metadata import exif_get_as_shot_neutral, exif_get_color_mat_sources
 
-    tf = T.read_tiff(source)
-    mats = exif_get_color_mat_sources(tf)
+    try:
+        tf = T.read_tiff(source)
+        mats = exif_get_color_mat_sources(tf)
+    except (ValueError, _struct.error):
+        # non-TIFF containers (RAF) carry no EXIF color matrices at all
+        mats = []
     if mats:
         neutral = exif_get_as_shot_neutral(tf)
     else:

@@ -1048,6 +1048,16 @@ def _remap_kernel(
     out_ref[0] = res[:, :width]
 
 
+def row_zone_edges(h: int, n_zones: int):
+    """Zone row edges for ``remap_bounded_pallas_zoned``: 8-aligned interior
+    boundaries, contiguous cover of [0, h). None when h is too short — the
+    single place the zoned-kernel alignment contract is defined (the warp and
+    CA zone builders both consume this)."""
+    if h < 8 * n_zones:
+        return None
+    return [0] + [((h * i) // n_zones) & ~7 for i in range(1, n_zones)] + [h]
+
+
 def remap_bounded_pallas_zoned(
     img: Array, map_x: Array, map_y: Array,
     zones, kind: str = "bilinear",

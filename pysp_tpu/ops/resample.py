@@ -263,8 +263,11 @@ def remap_bounded(
 ) -> Array:
     """Displacement-bounded remap dispatch: banded Pallas kernel on TPU
     (one HBM pass; ops/pallas_kernels.remap_bounded_pallas), XLA select
-    remaps elsewhere. Both are bit-identical to the gather remaps when the
-    bounds truly cover floor(map) - identity."""
+    remaps elsewhere. With in-range bounds the bilinear paths are
+    bit-identical to the gather remaps on both backends; the TPU lanczos4
+    kernel uses the polynomial tap weights (resample._LANCZOS4_POLY,
+    <= ~1e-5 output delta vs the exact-sin XLA path — see the
+    remap_bounded_pallas notes and DIVERGENCES.md)."""
     import jax
 
     if use_pallas and jax.default_backend() == "tpu" and img.ndim == 2:

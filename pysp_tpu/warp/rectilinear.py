@@ -173,7 +173,10 @@ def warp_image_rectilinear(
     coeffs = [tuple(float(v) for v in co) for co in coefficients]
     if len(coeffs) != c:
         return None
-    bounds = [displacement_bounds(co, w, h, cam_center_norm, scale) for co in coeffs]
+    bounds = [
+        displacement_bounds(co, w, h, cam_center_norm, scale)
+        for co in dict.fromkeys(coeffs)
+    ]
     if any(b is None for b in bounds):
         return None
     dyb = (min(b[0][0] for b in bounds), max(b[0][1] for b in bounds))
@@ -221,18 +224,22 @@ def warp_row_zones(
     Radial warps put their largest |dy| at the top/bottom rows; per-zone dy
     bounds are one-sided and roughly half the global span, nearly halving the
     kernel's row-select cost. Returns remap_bounded_pallas_zoned's ``zones``
-    (union over the per-channel coefficient sets), or None when any zone's
-    bounds are unavailable."""
-    if height < 8 * n_zones:
+    (union over the per-channel coefficient sets; identical sets are swept
+    once), or None when any zone's bounds are unavailable."""
+    from ..ops.pallas_kernels import row_zone_edges
+
+    edges = row_zone_edges(height, n_zones)
+    if edges is None:
         return None
-    edges = [0] + [((height * i) // n_zones) & ~7 for i in range(1, n_zones)] + [height]
+    unique = list(dict.fromkeys(tuple(tuple(float(v) for v in co)
+                                      for co in coeffs_list)))
     zones = []
     for r0, r1 in zip(edges, edges[1:]):
         bs = [
             displacement_bounds(
                 co, width, height, cam_center_norm, scale, row_range=(r0, r1)
             )
-            for co in coeffs_list
+            for co in unique
         ]
         if any(b is None for b in bs):
             return None

@@ -78,3 +78,33 @@ def test_cli_info_raf(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"RAF"' in out and "GFX100S" in out
+
+
+def test_exif_in_jpeg_thumbnail():
+    """Real RAFs keep the exposure EXIF in the JPEG thumbnail's APP1 segment,
+    not in the CFA-data TIFF — the loader must read EV from there (code-review
+    r3 finding: the CFA-TIFF-only read made every real Bayer RAF unloadable)."""
+    stored = _mosaic(seed=9)
+    data = write_synthetic_raf(stored, exif_in_jpeg=True)
+    frame = load_raw_raf(data)
+    assert np.isfinite(float(frame.ev))
+    # the CFA TIFF carries no EXIF IFD in this layout: the value came from APP1
+    import struct
+
+    from pysp_tpu.io import tiff as T
+
+    off, ln = struct.unpack_from(">LL", data, 100)
+    tf = T.read_tiff(data[off : off + ln])
+    assert all(ifd.exif_ifd is None for ifd in tf.ifds)
+
+
+def test_controller_rebuild_on_raf():
+    """controller_for_source must survive non-TIFF containers (code-review r3
+    finding: read_tiff raised and broke CLI --temperature / the compat class)."""
+    from pysp_tpu.io.raw_loader import controller_for_source
+
+    data = write_synthetic_raf(_mosaic(seed=10), exif_in_jpeg=True)
+    frame = load_raw_raf(data)
+    ctl = controller_for_source(data, frame)
+    ctl.update_by_temperature(5200.0, allow_cross_blend=True)
+    assert np.all(np.isfinite(ctl.get_reciprocal_multipliers()))
