@@ -40,6 +40,7 @@ from .io.arw import load_raw_arw
 from .io.cr2 import load_raw_cr2
 from .io.nef import load_raw_nef
 from .io.orf import load_raw_orf
+from .io.mrw import load_raw_mrw
 from .io.pef import load_raw_pef
 from .io.raf import load_raw_raf
 from .io.rw2 import load_raw_rw2
@@ -130,6 +131,7 @@ __all__ = [
     "load_raw_dng",
     "load_raw_nef",
     "load_raw_orf",
+    "load_raw_mrw",
     "load_raw_pef",
     "load_raw_raf",
     "load_raw_rw2",

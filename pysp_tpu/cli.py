@@ -20,7 +20,7 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument(
         "inputs",
         nargs="+",
-        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF built in; others via rawpy)",
+        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW built in; others via rawpy)",
     )
     dev.add_argument("-o", "--output", help="output path (single input) or directory")
     dev.add_argument(
@@ -294,6 +294,37 @@ def _info(args) -> int:
     from .io.pef import is_pef
     from .io.raf import is_raf
     from .io.rw2 import is_rw2
+
+    from .io.mrw import is_mrw
+
+    if is_mrw(args.input):
+        # MRW is a block directory, not a TIFF: report from the PRD block
+        # + loader-extracted metadata
+        from .io.mrw import _parse_blocks, _Prd, _read_source as _mrw_read
+        from .io.mrw import BLOCK_PRD, BLOCK_TTW, load_raw_mrw
+
+        data = _mrw_read(args.input)
+        out = {"format": "MRW"}
+        try:
+            blocks, _ = _parse_blocks(data)
+            prd = _Prd(blocks[BLOCK_PRD]) if BLOCK_PRD in blocks else None
+            if prd is not None:
+                out["size"] = [prd.ccd_h, prd.ccd_w]
+            ttw = blocks.get(BLOCK_TTW)
+            if ttw is not None:
+                tf = T.read_tiff(ttw)
+                model = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
+                if model is not None:
+                    out["model"] = (
+                        model.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
+                    )
+            frame = load_raw_mrw(args.input)
+            out["as_shot_neutral"] = np.asarray(frame.wb_neutral).tolist()
+            out["ev"] = float(frame.ev)
+        except ValueError as e:
+            out["error"] = str(e)
+        print(json.dumps(out, indent=2))
+        return 0
 
     if is_raf(args.input):
         # RAF is a proprietary directory, not a TIFF: report from its

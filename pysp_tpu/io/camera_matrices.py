@@ -84,6 +84,11 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
     # Fujifilm Bayer bodies (RAF; X-Trans models are not decodable here)
     "GFX 50S": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
     "GFX 50R": (11756, -4754, -874, -3056, 11045, 2305, -381, 1457, 6006),
+    # Konica Minolta (MRW)
+    "DYNAX 7D": (10239, -3104, -1099, -8037, 15727, 2451, -927, 925, 6871),
+    "MAXXUM 7D": (10239, -3104, -1099, -8037, 15727, 2451, -927, 925, 6871),
+    "DYNAX 5D": (10284, -3283, -1086, -7957, 15762, 2316, -829, 882, 6644),
+    "MAXXUM 5D": (10284, -3283, -1086, -7957, 15762, 2316, -829, 882, 6644),
     # Pentax (PEF)
     "K10D": (9566, -2863, -803, -7170, 15172, 2112, -818, 803, 9705),
     "K20D": (9427, -2714, -868, -7493, 16092, 1373, -2199, 3264, 7180),
@@ -95,7 +100,7 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
 
 _MAKER_PREFIXES = (
     "CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ", "FUJIFILM ",
-    "PENTAX ", "RICOH ",
+    "PENTAX ", "RICOH ", "KONICA MINOLTA ", "MINOLTA ", "SAMSUNG ",
 )
 
 

@@ -242,11 +242,17 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF decoders, then rawpy."""
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW
+    decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
     if is_cr2(source):
         return load_raw_cr2(source)
+
+    from .mrw import is_mrw, load_raw_mrw
+
+    if is_mrw(source):
+        return load_raw_mrw(source)
 
     from .raf import is_raf, load_raw_raf
 
@@ -302,8 +308,8 @@ def load_raw(source: Source) -> RawFrame:
         import rawpy  # type: ignore
     except ImportError as e:
         raise ValueError(
-            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF decoders "
-            "and rawpy is not installed for other formats."
+            "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/"
+            "MRW decoders and rawpy is not installed for other formats."
         ) from e
 
     from io import BytesIO
