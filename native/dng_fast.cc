@@ -1058,4 +1058,70 @@ int pef_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
   return 0;
 }
 
+// --- Samsung SRW (samsung_load_raw semantics; twin of io/srw.py::srw_decode) ---
+// ph1-style bitstream: little-endian u32 words consumed MSB-first. 16-pixel
+// blocks: 1 dir bit, four 2-bit opcodes adjusting four group bit-lengths
+// (opcode 3 + 4-bit replacement, in group order), then 16 sign-extended
+// residuals (even columns first, then odd). Lengths start at 7 for rows 0-1,
+// 4 after. Output is the STORED array (caller applies the TR/BL swap).
+// Divergences match io/srw.py: dir=1 on rows 0-1 predicts 128; values clamp.
+int srw_decode(const uint8_t* data, int64_t len, const uint32_t* row_offsets,
+               int64_t data_offset, uint16_t* out, int32_t h, int32_t w,
+               int32_t bits) {
+  if (w % 16 || bits < 8 || bits > 16) return -1;
+  const int lim = (1 << bits) - 1;
+  for (int32_t row = 0; row < h; ++row) {
+    uint64_t bitbuf = 0;
+    int vbits = 0;
+    int64_t pos = data_offset + static_cast<int64_t>(row_offsets[row]);
+    auto get = [&](int n) -> int {
+      if (n == 0) return 0;
+      while (vbits < n) {
+        uint32_t word = 0;
+        for (int k = 0; k < 4; ++k) {
+          uint32_t byte = (pos + k) < len ? data[pos + k] : 0;
+          word |= byte << (8 * k);  // little-endian u32
+        }
+        pos += 4;
+        bitbuf = (bitbuf << 32) | word;
+        vbits += 32;
+      }
+      int v = static_cast<int>((bitbuf >> (vbits - n)) & ((1u << n) - 1));
+      vbits -= n;
+      return v;
+    };
+    int lens[4] = {row < 2 ? 7 : 4, row < 2 ? 7 : 4, row < 2 ? 7 : 4,
+                   row < 2 ? 7 : 4};
+    for (int32_t col = 0; col < w; col += 16) {
+      int dir = get(1);
+      int ops[4];
+      for (int g = 0; g < 4; ++g) ops[g] = get(2);
+      for (int g = 0; g < 4; ++g) {
+        switch (ops[g]) {
+          case 3: lens[g] = get(4); break;
+          case 2: lens[g]--; break;
+          case 1: lens[g]++; break;
+        }
+        if (lens[g] < 0 || lens[g] > 16) return -2;
+      }
+      for (int c = 0; c < 16; c += 2) {
+        int i = lens[((c & 1) << 1) | (c >> 3)];
+        int v = get(i);
+        int diff = (i && (v >> (i - 1)) & 1) ? v - (1 << i) : v;
+        int64_t idx = static_cast<int64_t>(row) * w + col + c;
+        int pred;
+        if (dir) {
+          pred = row >= 2 ? out[idx - 2 * static_cast<int64_t>(w)] : 128;
+        } else {
+          pred = col ? out[idx - 2] : 128;
+        }
+        int val = pred + diff;
+        out[idx] = static_cast<uint16_t>(val < 0 ? 0 : (val > lim ? lim : val));
+        if (c == 14) c = -1;  // evens done -> restart at the odd columns
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

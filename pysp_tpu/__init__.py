@@ -42,6 +42,7 @@ from .io.nef import load_raw_nef
 from .io.orf import load_raw_orf
 from .io.mrw import load_raw_mrw
 from .io.pef import load_raw_pef
+from .io.srw import load_raw_srw
 from .io.raf import load_raw_raf
 from .io.rw2 import load_raw_rw2
 from .io.camera_matrices import register_camera_matrices
@@ -133,6 +134,7 @@ __all__ = [
     "load_raw_orf",
     "load_raw_mrw",
     "load_raw_pef",
+    "load_raw_srw",
     "load_raw_raf",
     "load_raw_rw2",
     "register_camera_matrices",

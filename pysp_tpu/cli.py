@@ -20,7 +20,7 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument(
         "inputs",
         nargs="+",
-        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW built in; others via rawpy)",
+        help="raw file path(s) (DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW/SRW built in; others via rawpy)",
     )
     dev.add_argument("-o", "--output", help="output path (single input) or directory")
     dev.add_argument(
@@ -294,6 +294,7 @@ def _info(args) -> int:
     from .io.pef import is_pef
     from .io.raf import is_raf
     from .io.rw2 import is_rw2
+    from .io.srw import is_srw
 
     from .io.mrw import is_mrw
 
@@ -363,6 +364,7 @@ def _info(args) -> int:
             else "RW2" if is_rw2(args.input)
             else "ORF" if is_orf(args.input)
             else "PEF" if is_pef(args.input)
+            else "SRW" if is_srw(args.input)
             else "DNG/TIFF"
         )
         raw = tf.find_raw_ifd()
@@ -386,7 +388,7 @@ def _info(args) -> int:
         out["as_shot_neutral"] = np.asarray(exif_get_as_shot_neutral(tf)).tolist()
     except KeyError:
         out["as_shot_neutral"] = None
-    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2", "ORF", "PEF"):
+    if out["as_shot_neutral"] is None and out["format"] in ("CR2", "NEF", "ARW", "RW2", "ORF", "PEF", "SRW"):
         # MakerNote formats carry WB outside the DNG EXIF tags; the format
         # loaders extract it — decode (host-side) and report the frame's neutral
         try:

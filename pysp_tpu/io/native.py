@@ -141,6 +141,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.srw_decode.restype = ctypes.c_int
+        lib.srw_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
     except AttributeError:
         pass
     _LIB = lib
@@ -360,6 +371,37 @@ def orf_encode(values: np.ndarray) -> bytes:
 def has_pef() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "pef_decode")
+
+
+def has_srw() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "srw_decode")
+
+
+def srw_decode(
+    data: bytes, row_offsets: np.ndarray, data_offset: int,
+    height: int, width: int, bits: int = 12,
+) -> np.ndarray:
+    """Decode Samsung compressed rows -> (H, W) uint16 STORED values
+    (io/srw.py fast path; caller applies samsung_swap)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "srw_decode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    offs = np.ascontiguousarray(row_offsets, np.uint32)
+    out = np.empty((height, width), np.uint16)
+    rc = lib.srw_decode(
+        data,
+        len(data),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        data_offset,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+        bits,
+    )
+    if rc != 0:
+        raise ValueError(f"SRW decode failed (code {rc})")
+    return out
 
 
 def pef_decode(

@@ -242,7 +242,7 @@ def controller_for_source(source: Source, frame: RawFrame):
 
 
 def load_raw(source: Source) -> RawFrame:
-    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW
+    """Load any supported raw: built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/MRW/SRW
     decoders, then rawpy."""
     from .cr2 import is_cr2, load_raw_cr2
 
@@ -294,6 +294,16 @@ def load_raw(source: Source) -> RawFrame:
     if is_pef(source):
         return load_raw_pef(source)
 
+    from .srw import is_srw, load_raw_srw
+
+    if is_srw(source):
+        # samsung2/3 generations (other compression values) fall through to rawpy
+        try:
+            return load_raw_srw(source)
+        except ValueError as e:
+            if "unsupported compression" not in str(e):
+                raise
+
     try:
         return load_raw_dng(source)
     except (ValueError, KeyError, NotImplementedError):
@@ -309,7 +319,7 @@ def load_raw(source: Source) -> RawFrame:
     except ImportError as e:
         raise ValueError(
             "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/"
-            "MRW decoders and rawpy is not installed for other formats."
+            "MRW/SRW decoders and rawpy is not installed for other formats."
         ) from e
 
     from io import BytesIO

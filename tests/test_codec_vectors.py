@@ -427,6 +427,85 @@ class TestNikonVectors:
 
 
 @pytest.mark.skipif(not native.available(), reason="native codec not built")
+def ph1_pack(bitstr: str) -> bytes:
+    """Samsung/ph1 packing: MSB-first bits grouped into 32-bit words, each
+    word emitted LITTLE-endian (dcraw ph1_bits with order 0x4949)."""
+    s = "".join(c for c in bitstr if c in "01")
+    s += "0" * ((-len(s)) % 32)
+    import struct
+
+    return b"".join(
+        struct.pack("<L", int(s[i : i + 32], 2)) for i in range(0, len(s), 32)
+    )
+
+
+class TestSamsungVectors:
+    """dcraw samsung_load_raw semantics: 16-pixel blocks of [1 dir bit,
+    four 2-bit opcodes, 4-bit replacement lengths for opcode 3 in group
+    order, then 16 sign-extended residuals — even columns first, then odd].
+    Group of in-block pixel c is ((c & 1) << 1) | (c >> 3); lengths start
+    at 7 for rows 0-1, else 4; dir=0 predicts the same-parity pixel two
+    left (128 across the whole first block), dir=1 two rows up."""
+
+    def test_full_state_walk(self):
+        from pysp_tpu.io.srw import srw_decode
+
+        # Row 0 block 0: dir=0 (all preds 128), op0 x4 (lens stay 7).
+        #   evens c0..c14: +10 -5 0 +63 | -64 +1 +2 +3
+        #     -> 138 123 128 191 | 64 129 130 131 (cols 0,2,..,14)
+        #   odds c1..c15: +7 -8 +9 -10 | 0 0 -1 +1
+        #     -> 135 120 137 118 | 128 128 127 129 (cols 1,3,..,15)
+        # Row 0 block 1: dir=0, op3 x4 with length 0 -> zero residuals;
+        #   evens chain from col 14 (131), odds from col 15 (129).
+        row0 = (
+            "0" + "00000000"
+            + "0001010 1111011 0000000 0111111 1000000 0000001 0000010 0000011"
+            + "0000111 1111000 0001001 1110110 0000000 0000000 1111111 0000001"
+            + "0" + "11111111" + "0000000000000000"
+        )
+        # Row 1: both blocks op3/len0, dir=0 -> all 128.
+        row1 = ("0" + "11111111" + "0" * 16) * 2
+        # Row 2 block 0: dir=1 (pred = row 0), ops op1/op0/op2/op3(6):
+        #   lens 4->[5,4,3,6]. evens g0(5b): +15 -16 0 +1; g1(4b): -8 +7 0 +5;
+        #   odds g2(3b): +3 -4 0 +1; g3(6b): +31 -32 0 +2.
+        # Row 2 block 1: dir=1, op3 x4 len 0 -> copies row 0 cols 16-31.
+        row2 = (
+            "1" + "01 00 10 11" + "0110"
+            + "01111 10000 00000 00001" + "1000 0111 0000 0101"
+            + "011 100 000 001" + "011111 100000 000000 000010"
+            + "1" + "11111111" + "0" * 16
+        )
+        # Row 3 block 0: dir=1, op3 x4 len 0 -> copies row 1 (all 128).
+        # Row 3 block 1: dir=0, op1 x4 (lens 0->1): evens 1 0 0 0 0 0 0 0
+        #   (first -1 then zeros -> 127 chain), odds 0 1 0 0 0 0 0 0
+        #   (128 then 127s).
+        row3 = (
+            "1" + "11111111" + "0" * 16
+            + "0" + "01 01 01 01" + "10000000" + "01000000"
+        )
+        chunks = [ph1_pack(r) for r in (row0, row1, row2, row3)]
+        offsets = np.cumsum([0] + [len(c) for c in chunks[:-1]]).astype(np.uint32)
+        payload = b"".join(chunks)
+
+        expect = np.array(
+            [
+                [138, 135, 123, 120, 128, 137, 191, 118,
+                 64, 128, 129, 128, 130, 127, 131, 129] + [131, 129] * 8,
+                [128] * 32,
+                [153, 138, 107, 116, 128, 137, 192, 119,
+                 56, 159, 136, 96, 130, 127, 136, 131] + [131, 129] * 8,
+                [128] * 16 + [127, 128] + [127] * 14,
+            ],
+            np.uint16,
+        )
+        got = srw_decode(payload, offsets, 0, 4, 32)
+        np.testing.assert_array_equal(got, expect)
+        if native.has_srw():
+            np.testing.assert_array_equal(
+                native.srw_decode(payload, offsets, 0, 4, 32), expect
+            )
+
+
 class TestLosslessJpegVectors:
     """ITU-T T.81 lossless (SOF3) semantics — the codec behind both compressed
     DNG and CR2: canonical DHT Huffman codes select an SSSS category, SSSS

@@ -132,6 +132,11 @@ def test_load_raw_pef_full_fixture():
     data = write_synthetic_pef(
         vals, black_rggb=(32, 33, 34, 35), wb_rggb=(18000, 8192, 8192, 11000)
     )
+    # the generic-matrix warning fires once per model per process: clear any
+    # earlier test's firing so this check is order-independent
+    from pysp_tpu.io import camera_matrices
+
+    camera_matrices._warned_generic.discard("PENTAX SYNTH")
     with pytest.warns(UserWarning, match="generic"):
         frame = load_raw_pef(data)
     b = np.asarray(frame.bayer)
