@@ -40,6 +40,7 @@ from .io.arw import load_raw_arw
 from .io.cr2 import load_raw_cr2
 from .io.nef import load_raw_nef
 from .io.orf import load_raw_orf
+from .io.cr3 import cr3_info
 from .io.mrw import load_raw_mrw
 from .io.pef import load_raw_pef
 from .io.srw import load_raw_srw
@@ -132,6 +133,7 @@ __all__ = [
     "load_raw_dng",
     "load_raw_nef",
     "load_raw_orf",
+    "cr3_info",
     "load_raw_mrw",
     "load_raw_pef",
     "load_raw_srw",

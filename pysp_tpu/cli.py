@@ -296,6 +296,17 @@ def _info(args) -> int:
     from .io.rw2 import is_rw2
     from .io.srw import is_srw
 
+    from .io.cr3 import is_cr3
+
+    if is_cr3(args.input):
+        # metadata-only: the CRX payload needs libraw (see io/cr3.py)
+        from .io.cr3 import cr3_info
+
+        out = cr3_info(args.input)
+        out["raw_decode"] = "rawpy/libraw required (CRX codec)"
+        print(json.dumps(out, indent=2))
+        return 0
+
     from .io.mrw import is_mrw
 
     if is_mrw(args.input):

@@ -254,6 +254,13 @@ def load_raw(source: Source) -> RawFrame:
     if is_mrw(source):
         return load_raw_mrw(source)
 
+    from .cr3 import is_cr3, load_raw_cr3_rawpy
+
+    if is_cr3(source):
+        # CRX decode has no built-in path: pixels via libraw (the reference's
+        # own route), metadata from the container's CMT blocks
+        return load_raw_cr3_rawpy(source)
+
     from .raf import is_raf, load_raw_raf
 
     if is_raf(source):
