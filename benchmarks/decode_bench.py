@@ -1,0 +1,94 @@
+"""Host-side decode throughput for the built-in raw loaders.
+
+The reference's decode layer is libraw (C); ours is native/dng_fast.cc with
+pure-Python twins. This bench measures the END-TO-END load_raw path (file
+bytes -> canonical RawFrame, including container parse, bitstream decode,
+normalization, WB solve) per format at a realistic 24 MP sensor size, plus
+the bare native codec where one exists.
+
+Run on CPU (decode is host-bound):
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python benchmarks/decode_bench.py
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _time(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main(h=4000, w=6048, quick=False):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pysp_tpu.io.raw_loader import load_raw
+
+    if quick:
+        h, w = 1000, 1512
+    mp = h * w / 1e6
+    rng = np.random.default_rng(0)
+    # smooth content: realistic residual statistics for the DPCM codecs
+    base = np.clip(
+        600 + np.cumsum(rng.integers(-18, 19, (h, w)), axis=1), 30, 2000
+    ).astype(np.uint16)
+
+    def crop(mult):
+        wm = w - (w % mult)
+        return np.ascontiguousarray(base[:, :wm]), h * wm / 1e6
+
+    fixtures = {}  # name -> (blob, MP actually stored)
+    from pysp_tpu.io.tiff import write_synthetic_dng
+
+    fixtures["DNG(LJ92)"] = (write_synthetic_dng(base, compression=7), mp)
+    from pysp_tpu.io.cr2 import write_synthetic_cr2
+
+    fixtures["CR2"] = (write_synthetic_cr2(base), mp)
+    from pysp_tpu.io.nef import write_synthetic_nef
+
+    fixtures["NEF"] = (write_synthetic_nef(base), mp)
+    from pysp_tpu.io.arw import write_synthetic_arw
+
+    a32, amp = crop(32)
+    fixtures["ARW"] = (write_synthetic_arw(np.minimum(a32, 0x7FF)), amp)
+    from pysp_tpu.io.rw2 import write_synthetic_rw2
+
+    a14, pmp = crop(14)
+    fixtures["RW2"] = (write_synthetic_rw2(a14)[0], pmp)
+    from pysp_tpu.io.orf import write_synthetic_orf
+
+    fixtures["ORF"] = (write_synthetic_orf(base), mp)
+    from pysp_tpu.io.raf import write_synthetic_raf
+
+    fixtures["RAF"] = (write_synthetic_raf(base), mp)
+    from pysp_tpu.io.pef import write_synthetic_pef
+
+    fixtures["PEF"] = (write_synthetic_pef(base), mp)
+    from pysp_tpu.io.mrw import write_synthetic_mrw
+
+    fixtures["MRW"] = (write_synthetic_mrw(base), mp)
+    from pysp_tpu.io.srw import write_synthetic_srw
+
+    a16, smp = crop(16)
+    fixtures["SRW"] = (write_synthetic_srw(a16), smp)
+
+    print(f"[decode_bench] sensor {h}x{w} = {mp:.1f} MP (smooth synthetic)")
+    for name, (blob, fmp) in fixtures.items():
+        dt = _time(lambda b=blob: load_raw(b))
+        print(
+            f"[decode_bench] {name:9s} load_raw: {dt*1e3:7.1f} ms = "
+            f"{fmp/dt:7.1f} MP/s  ({len(blob)/1e6:.1f} MB file)"
+        )
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(quick="--quick" in sys.argv[1:])

@@ -58,61 +58,126 @@ struct HuffTable {
   bool present = false;
 };
 
+// Buffered MSB-first bit reader: a 64-bit window refilled a byte at a time
+// (byte-stuffing aware), so hot paths peek up to 16 bits and consume in one
+// shift instead of looping per bit. Past-end reads see zero bits; `bad` is
+// set exactly when a caller consumes beyond the real payload (same contract
+// as the original per-bit reader the fuzz/vector tests were written against).
 struct BitReader {
   const uint8_t* data;
   int64_t size;
-  int64_t pos = 0;
-  uint32_t bitbuf = 0;
-  int bitcnt = 0;
+  int64_t pos = 0;        // next input byte
+  uint64_t acc = 0;       // low `nbits` bits valid
+  int nbits = 0;
+  int64_t consumed = 0;   // bits handed to callers
+  int64_t loaded = 0;     // real payload bits loaded so far
+  int64_t real_bits = -1; // total real payload bits, set once input ends
   bool bad = false;
-  bool stuffed = true;  // false: plain MSB-first bitstream (NEF)
+  bool stuffed = true;  // false: plain MSB-first bitstream (NEF/ORF/PEF)
+  bool ended = false;
 
-  // JPEG entropy-coded segment: 0xFF bytes are followed by a stuffed 0x00
-  int next_byte() {
-    if (pos >= size) return -1;
-    uint8_t b = data[pos++];
-    if (stuffed && b == 0xFF) {
-      if (pos < size && data[pos] == 0x00) {
+  inline void refill() {
+    // fast path: plain bytes, no stuffing/end handling
+    if (!ended) {
+      while (nbits <= 56 && pos < size) {
+        uint8_t raw = data[pos];
+        if (stuffed && raw == 0xFF) break;
+        acc = (acc << 8) | raw;
         pos++;
-      } else {
-        return -1;  // marker: end of scan
+        nbits += 8;
+        loaded += 8;
       }
+      if (nbits > 56) return;
     }
-    return b;
-  }
-
-  int get_bit() {
-    if (bitcnt == 0) {
-      int b = next_byte();
+    while (nbits <= 56) {
+      int b = -1;
+      if (!ended) {
+        if (pos >= size) {
+          ended = true;
+          real_bits = loaded;
+        } else {
+          uint8_t raw = data[pos++];
+          if (stuffed && raw == 0xFF) {
+            if (pos < size && data[pos] == 0x00) {
+              pos++;
+              b = 0xFF;
+            } else {  // marker: end of scan
+              pos--;
+              ended = true;
+              real_bits = loaded;
+            }
+          } else {
+            b = raw;
+          }
+        }
+      }
       if (b < 0) {
-        bad = true;
-        return 0;
+        b = 0;  // zero-fill padding
+      } else {
+        loaded += 8;
       }
-      bitbuf = static_cast<uint32_t>(b);
-      bitcnt = 8;
+      acc = (acc << 8) | static_cast<uint64_t>(b);
+      nbits += 8;
     }
-    bitcnt--;
-    return (bitbuf >> bitcnt) & 1;
   }
 
-  int get_bits(int n) {
-    int v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | get_bit();
-    return v;
+  // requires refill() first; n in [1, 32]
+  inline uint32_t peek(int n) const {
+    return static_cast<uint32_t>((acc >> (nbits - n)) & ((1ull << n) - 1));
   }
+
+  inline void consume(int n) {
+    nbits -= n;
+    consumed += n;
+    if (real_bits >= 0 && consumed > real_bits) bad = true;
+  }
+
+  inline int get_bits(int n) {
+    if (n <= 0) return 0;
+    refill();
+    uint32_t v = peek(n);
+    consume(n);
+    return static_cast<int>(v);
+  }
+
+  inline int get_bit() { return get_bits(1); }
 };
 
-int decode_huff(BitReader& br, const HuffTable& ht) {
-  int code = 0;
+// Flat 16-bit-peek decode table: lut[peek16] = (code_len << 8) | value.
+// One 128 KB table per Huffman table, built once per file — turns the
+// per-bit canonical-range walk into a single load.
+struct HuffLut {
+  std::vector<uint16_t> lut;
+  bool built = false;
+};
+
+template <typename HT>
+void build_lut(const HT& ht, HuffLut* out) {
+  out->lut.assign(size_t(1) << 16, 0);
   for (int len = 1; len <= 16; ++len) {
-    code = (code << 1) | br.get_bit();
-    if (br.bad) return -1;
-    if (ht.val_index[len] >= 0 && code >= ht.min_code[len] &&
-        code <= ht.max_code[len]) {
-      return ht.values[ht.val_index[len] + (code - ht.min_code[len])];
+    if (ht.val_index[len] < 0) continue;
+    for (int code = ht.min_code[len]; code <= ht.max_code[len]; ++code) {
+      uint32_t base = static_cast<uint32_t>(code) << (16 - len);
+      uint32_t span = 1u << (16 - len);
+      uint16_t e = static_cast<uint16_t>(
+          (len << 8) | ht.values[ht.val_index[len] + (code - ht.min_code[len])]);
+      std::fill(out->lut.begin() + base, out->lut.begin() + base + span, e);
     }
   }
-  return -1;
+  out->built = true;
+}
+
+inline int decode_lut(BitReader& br, const HuffLut& h) {
+  br.refill();
+  uint16_t e = h.lut[br.peek(16)];
+  int len = e >> 8;
+  if (len == 0) {  // invalid code: consume the full window like the old walk
+    br.consume(16);
+    return -1;
+  }
+  br.consume(len);
+  if (br.bad) return -1;
+  return e & 0xFF;
 }
 
 inline int extend(int v, int ssss) {
@@ -231,14 +296,20 @@ int dng_ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
       BitReader br{data + pos, size - pos};
       int default_val = 1 << (sof.precision - point_transform - 1);
 
+      HuffLut luts[4];
+      for (int c = 0; c < NC; ++c) {
+        int td = scan_comp_table[c];
+        if (!tables[td].present) return -8;
+        if (!luts[td].built) build_lut(tables[td], &luts[td]);
+      }
+
       std::vector<int32_t> prev_row(static_cast<size_t>(W) * NC);
       std::vector<int32_t> cur_row(static_cast<size_t>(W) * NC);
 
       for (int y = 0; y < H; ++y) {
         for (int x = 0; x < W; ++x) {
           for (int c = 0; c < NC; ++c) {
-            const HuffTable& ht = tables[scan_comp_table[c]];
-            int ssss = decode_huff(br, ht);
+            int ssss = decode_lut(br, luts[scan_comp_table[c]]);
             if (ssss < 0 || br.bad) return -10;
             int diff = extend(ssss == 16 ? 0 : br.get_bits(ssss), ssss);
 
@@ -503,18 +574,8 @@ void nef_build_huff(const uint8_t* spec, NefHuff* ht) {
   }
 }
 
-int nef_decode_huff(BitReader& br, const NefHuff& ht) {
-  int code = 0;
-  for (int len = 1; len <= 16; ++len) {
-    code = (code << 1) | br.get_bit();
-    if (br.bad) return -1;
-    if (ht.val_index[len] >= 0 && code >= ht.min_code[len] &&
-        code <= ht.max_code[len]) {
-      return ht.values[ht.val_index[len] + (code - ht.min_code[len])];
-    }
-  }
-  return -1;
-}
+// (the per-bit canonical-range walk this replaced lives in git history;
+// decode_lut + build_lut above are the production path)
 
 }  // namespace
 
@@ -530,6 +591,8 @@ int nef_decode(const uint8_t* data, int64_t size, uint16_t* out,
   if (split_row > 0 && tree_idx + 1 > 5) return -1;
   NefHuff ht;
   nef_build_huff(kNefTree[tree_idx], &ht);
+  HuffLut lut;
+  build_lut(ht, &lut);
   BitReader br{data, size};
   br.stuffed = false;
   int vpred[2][2] = {
@@ -538,9 +601,10 @@ int nef_decode(const uint8_t* data, int64_t size, uint16_t* out,
   for (int32_t row = 0; row < height; ++row) {
     if (split_row > 0 && row == split_row) {
       nef_build_huff(kNefTree[tree_idx + 1], &ht);
+      build_lut(ht, &lut);
     }
     for (int32_t col = 0; col < width; ++col) {
-      int i = nef_decode_huff(br, ht);
+      int i = decode_lut(br, lut);
       if (i < 0) return -2;
       int len = i & 15;
       int shl = i >> 4;
@@ -853,25 +917,26 @@ int64_t rw2_encode(const uint16_t* values, int32_t h, int32_t w, uint8_t* out,
 namespace {
 
 struct OrfBits {
-  const uint8_t* data;
-  int64_t len;
-  int64_t pos = 0;  // bit position
+  BitReader br;
 
-  int get(int n) {
-    int out = 0;
-    for (int i = 0; i < n; ++i) {
-      int64_t byte = pos >> 3;
-      int bit = (byte < len) ? (data[byte] >> (7 - (pos & 7))) & 1 : 0;
-      out = (out << 1) | bit;
-      ++pos;
-    }
-    return out;
+  OrfBits(const uint8_t* data, int64_t len) : br{data, len} {
+    br.stuffed = false;  // plain MSB-first stream, zero-fill past end
   }
 
+  int get(int n) { return br.get_bits(n); }
+
   int zeros_then_one() {
-    for (int k = 0; k < 12; ++k)
-      if (get(1)) return k;
-    return 12;
+    // unary magnitude class, capped at 12 zeros: one peek + clz instead of
+    // up to 12 single-bit reads
+    br.refill();
+    uint32_t v = br.peek(12);
+    if (v == 0) {
+      br.consume(12);
+      return 12;
+    }
+    int k = __builtin_clz(v) - 20;  // leading zeros within the 12-bit window
+    br.consume(k + 1);
+    return k;
   }
 };
 
@@ -1008,25 +1073,18 @@ int pef_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
     if (p + n > 4096) return -1;
     for (int i = 0; i < n; ++i) lut[p + i] = static_cast<uint16_t>((ln << 8) | c);
   }
-  int64_t bitpos = 0;
-  const int64_t nbits_total = len * 8;
+  BitReader br{data, len};
+  br.stuffed = false;  // plain MSB-first stream; zero-fill past end (clamp
+                       // semantics — `bad` deliberately unchecked, io/pef.py)
   auto peek12 = [&]() -> int {
-    int v = 0;
-    for (int k = 0; k < 12; ++k) {
-      int64_t p = bitpos + k;
-      int byte = p < nbits_total ? data[p >> 3] : 0;
-      v = (v << 1) | ((byte >> (7 - (p & 7))) & 1);
-    }
-    return v;
+    br.refill();
+    return static_cast<int>(br.peek(12));
   };
   auto getn = [&](int n) -> int {
-    int v = 0;
-    for (int k = 0; k < n; ++k) {
-      int64_t p = bitpos + k;
-      int byte = p < nbits_total ? data[p >> 3] : 0;
-      v = (v << 1) | ((byte >> (7 - (p & 7))) & 1);
-    }
-    bitpos += n;
+    if (n == 0) return 0;
+    br.refill();
+    int v = static_cast<int>(br.peek(n));
+    br.consume(n);
     return v;
   };
   int vpred[2][2] = {{0, 0}, {0, 0}};
@@ -1037,7 +1095,7 @@ int pef_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
       uint16_t e = lut[peek12()];
       int ln = e >> 8;
       if (ln == 0) return -2;
-      bitpos += ln;
+      br.consume(ln);
       int sym = e & 0xFF;
       int diff = 0;
       if (sym) {
@@ -1053,6 +1111,64 @@ int pef_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
       int v = hpred[col & 1];
       out[static_cast<int64_t>(row) * w + col] =
           static_cast<uint16_t>(v < 0 ? 0 : (v > lim ? lim : v));
+    }
+  }
+  return 0;
+}
+
+// --- Sony ARW2 (sony_arw2_load_raw semantics; twin of io/arw.py::arw2_decode) ---
+// One 16-byte block -> 16 photosites of one column parity in a 32-column
+// span; header word packs max/min values + their positions; 15 7-bit deltas
+// at bit offsets 30+7j, the 15th crossing into the next block's first two
+// bytes (zeros at the end of a row — io/arw.py documents the dcraw UB this
+// replaces). Returns 0 on success.
+int arw2_decode(const uint8_t* data, int64_t len, uint16_t* out, int32_t h,
+                int32_t w) {
+  if (w % 32) return -1;
+  if (len < static_cast<int64_t>(h) * w) return -2;
+  const int nb = w / 16;
+  for (int32_t row = 0; row < h; ++row) {
+    const uint8_t* rp = data + static_cast<int64_t>(row) * w;
+    uint16_t* op = out + static_cast<int64_t>(row) * w;
+    for (int b = 0; b < nb; ++b) {
+      const uint8_t* dp = rp + b * 16;
+      uint32_t w0 = static_cast<uint32_t>(dp[0]) | (dp[1] << 8) |
+                    (dp[2] << 16) | (static_cast<uint32_t>(dp[3]) << 24);
+      int mx = w0 & 0x7FF;
+      int mn = (w0 >> 11) & 0x7FF;
+      int imax = (w0 >> 22) & 0xF;
+      int imin = (w0 >> 26) & 0xF;
+      int diff = mx - mn;
+      int sh = (diff >= 0x80) + (diff >= 0x100) + (diff >= 0x200) +
+               (diff >= 0x400);
+      uint8_t ext[18];
+      std::memcpy(ext, dp, 16);
+      if (b + 1 < nb) {
+        ext[16] = dp[16];
+        ext[17] = dp[17];
+      } else {
+        ext[16] = ext[17] = 0;
+      }
+      const int base = 32 * (b >> 1) + (b & 1);
+      for (int i = 0; i < 16; ++i) {
+        int v;
+        if (i == imax) {
+          v = mx;
+        } else if (i == imin && imax != imin) {
+          v = mn;
+        } else {
+          int rank = i - (imax < i) - ((imin < i) && (imax != imin));
+          if (rank < 0) rank = 0;
+          if (rank > 14) rank = 14;
+          int start = 30 + 7 * rank;
+          int delta =
+              ((ext[start >> 3] | (ext[(start >> 3) + 1] << 8)) >> (start & 7)) &
+              0x7F;
+          v = mn + (delta << sh);
+          if (v > 0x7FF) v = 0x7FF;
+        }
+        op[base + 2 * i] = static_cast<uint16_t>(v);
+      }
     }
   }
   return 0;

@@ -249,6 +249,9 @@ def load_raw_arw(source: Source, color_mats=None) -> RawFrame:
 
     width = raw_ifd.get(T.TAG_IMAGE_WIDTH).as_ints()[0]
     height = raw_ifd.get(T.TAG_IMAGE_LENGTH).as_ints()[0]
+    from .raw_loader import check_decode_dims
+
+    check_decode_dims(height, width)
     bits = raw_ifd.get(T.TAG_BITS_PER_SAMPLE).as_ints()[0]
     comp_tag = raw_ifd.get(T.TAG_COMPRESSION)
     compression = comp_tag.as_ints()[0] if comp_tag is not None else 1
@@ -264,7 +267,12 @@ def load_raw_arw(source: Source, color_mats=None) -> RawFrame:
     if compression == ARW2_COMPRESSION:
         o = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
         c = raw_ifd.get(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
-        stored = arw2_decode(bytes(tf.data[o : o + c]), height, width)
+        from . import native
+
+        if native.has_arw2():
+            stored = native.arw2_decode(bytes(tf.data[o : o + c]), height, width)
+        else:
+            stored = arw2_decode(bytes(tf.data[o : o + c]), height, width)
         knots = None
         if mn_ifd is not None:
             k = mn_ifd.get(MN_SONY_CURVE)

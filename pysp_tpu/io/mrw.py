@@ -149,7 +149,12 @@ def load_raw_mrw(source: Source, color_mats=None) -> RawFrame:
     """Decode an MRW into a canonical RawFrame."""
     from ..colorimetry.wb import CameraWhiteBalanceController
     from .metadata import compute_ev_from_tiff
-    from .raw_loader import _normalize_host, _PATTERN_FROM_STRING, frame_from_parts
+    from .raw_loader import (
+        _normalize_host,
+        _PATTERN_FROM_STRING,
+        check_decode_dims,
+        frame_from_parts,
+    )
 
     data = _read_source(source)
     blocks, raw_off = _parse_blocks(data)
@@ -157,6 +162,8 @@ def load_raw_mrw(source: Source, color_mats=None) -> RawFrame:
     if prd_blob is None:
         raise ValueError("MRW: missing PRD block")
     prd = _Prd(prd_blob)
+
+    check_decode_dims(prd.ccd_h, prd.ccd_w)
 
     pattern_str = _PATTERN_CODES.get(prd.pattern_code)
     if pattern_str is None:
@@ -174,9 +181,7 @@ def load_raw_mrw(source: Source, color_mats=None) -> RawFrame:
     if not (1 <= prd.pixel_size <= 16):
         raise ValueError(f"MRW: bad pixel size {prd.pixel_size}")
     white = float((1 << prd.pixel_size) - 1)
-    sensor = _normalize_host(
-        raw.astype(np.float64), np.zeros(4), np.full(4, white)
-    )
+    sensor = _normalize_host(raw, np.zeros(4), np.full(4, white))
 
     neutral = _wb_neutral(blocks.get(BLOCK_WBG), pattern_str)
 

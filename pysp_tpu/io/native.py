@@ -152,6 +152,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.c_int32,
         ]
+        lib.arw2_decode.restype = ctypes.c_int
+        lib.arw2_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
     except AttributeError:
         pass
     _LIB = lib
@@ -376,6 +384,29 @@ def has_pef() -> bool:
 def has_srw() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "srw_decode")
+
+
+def has_arw2() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "arw2_decode")
+
+
+def arw2_decode(blob: bytes, height: int, width: int) -> np.ndarray:
+    """Unpack ARW2 delta blocks -> (H, W) uint16 (io/arw.py fast path)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "arw2_decode"):
+        raise RuntimeError("native libdng_fast.so not built (run: make -C native)")
+    out = np.empty((height, width), np.uint16)
+    rc = lib.arw2_decode(
+        blob,
+        len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+    )
+    if rc != 0:
+        raise ValueError(f"ARW2 decode failed (code {rc})")
+    return out
 
 
 def srw_decode(

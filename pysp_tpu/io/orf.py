@@ -266,6 +266,9 @@ def load_raw_orf(source: Source, color_mats=None) -> RawFrame:
         raise ValueError("ORF: missing raw dimensions or strip")
     width = wtag.as_ints()[0]
     height = htag.as_ints()[0]
+    from .raw_loader import check_decode_dims
+
+    check_decode_dims(height, width)
     o = otag.as_ints()[0]
     c = ctag.as_ints()[0] if ctag is not None else len(tf.data) - o
 
@@ -320,7 +323,7 @@ def load_raw_orf(source: Source, color_mats=None) -> RawFrame:
     # _normalize_host wants positions TL, TR, BR, BL
     chan_black = np.array([by_pos[0], by_pos[1], by_pos[3], by_pos[2]], np.float64)
     white = 4095.0
-    sensor = _normalize_host(stored.astype(np.float64), chan_black, np.full(4, white))
+    sensor = _normalize_host(stored, chan_black, np.full(4, white))
     sensor = sensor[: sensor.shape[0] & ~1, : sensor.shape[1] & ~1]
 
     if color_mats is None:

@@ -173,6 +173,9 @@ def load_raw_raf(source: Source, color_mats=None) -> RawFrame:
         height, width = struct.unpack_from(">HH", records[CFA_TAG_RAW_DIMS], 0)
     else:
         raise ValueError("RAF: no raw dimensions")
+    from .raw_loader import check_decode_dims
+
+    check_decode_dims(height, width)
 
     o = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
     stored = (
@@ -207,7 +210,7 @@ def load_raw_raf(source: Source, color_mats=None) -> RawFrame:
             # levels are per-channel multipliers; neutral = mul_G / mul_chan
             neutral = np.array([g / r, 1.0, g / b], np.float64)
 
-    sensor = _normalize_host(stored.astype(np.float64), black, np.full(4, white))
+    sensor = _normalize_host(stored, black, np.full(4, white))
     sensor = sensor[: sensor.shape[0] & ~1, : sensor.shape[1] & ~1]
 
     if color_mats is None:

@@ -302,6 +302,9 @@ def load_raw_rw2(source: Source, color_mats=None) -> RawFrame:
 
     width = _tag_int(ifd0, TAG_SENSOR_WIDTH)
     height = _tag_int(ifd0, TAG_SENSOR_HEIGHT)
+    from .raw_loader import check_decode_dims
+
+    check_decode_dims(height, width)
     if width is None or height is None:
         raise ValueError("RW2: missing sensor dimensions")
     bits = _tag_int(ifd0, TAG_PANA_BITS, 12)
@@ -360,7 +363,7 @@ def load_raw_rw2(source: Source, color_mats=None) -> RawFrame:
         np.float64,
     )
     white = float((1 << bits) - 1)
-    sensor = _normalize_host(stored.astype(np.float64), chan_black, np.full(4, white))
+    sensor = _normalize_host(stored, chan_black, np.full(4, white))
 
     neutral = np.array([0.5, 1.0, 0.5], np.float64)
     wb_r = _tag_int(ifd0, TAG_WB_RED)

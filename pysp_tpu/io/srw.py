@@ -301,6 +301,9 @@ def load_raw_srw(source: Source, color_mats=None) -> RawFrame:
 
     width = raw_ifd.get(T.TAG_IMAGE_WIDTH).as_ints()[0]
     height = raw_ifd.get(T.TAG_IMAGE_LENGTH).as_ints()[0]
+    from .raw_loader import check_decode_dims
+
+    check_decode_dims(height, width)
     bits_tag = raw_ifd.get(T.TAG_BITS_PER_SAMPLE)
     bits = bits_tag.as_ints()[0] if bits_tag is not None else 12
     comp_tag = raw_ifd.get(T.TAG_COMPRESSION)
@@ -353,7 +356,7 @@ def load_raw_srw(source: Source, color_mats=None) -> RawFrame:
     chan_black = np.array([grid[0], grid[1], grid[3], grid[2]], np.float64)
 
     white = float((1 << bits) - 1)
-    sensor = _normalize_host(raw.astype(np.float64), chan_black, np.full(4, white))
+    sensor = _normalize_host(raw, chan_black, np.full(4, white))
     sensor = sensor[: sensor.shape[0] & ~1, : sensor.shape[1] & ~1]
 
     neutral = np.array([0.5, 1.0, 0.5], np.float64)

@@ -124,3 +124,22 @@ def test_arw_develops():
     frame = load_raw_arw(write_synthetic_arw(_stored11()))
     out = np.asarray(develop(frame, DevelopConfig(quality=QualityDemosaic.Fast)))
     assert out.shape == (64, 96, 3) and np.isfinite(out).all()
+
+
+def test_native_arw2_matches_python():
+    from pysp_tpu.io import native
+
+    if not native.has_arw2():
+        import pytest
+
+        pytest.skip("native codec not built")
+    import numpy as np
+
+    from pysp_tpu.io.arw import arw2_decode, arw2_encode
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 0x800, (24, 64), dtype=np.uint16)
+    blob = arw2_encode(vals)
+    py = arw2_decode(blob, 24, 64)
+    nat = native.arw2_decode(blob, 24, 64)
+    np.testing.assert_array_equal(py, nat)
