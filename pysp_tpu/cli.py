@@ -30,6 +30,11 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="AHD chroma-median stages (best quality only)")
     dev.add_argument("--no-gamma", action="store_true",
                      help="emit linear sRGB instead of gamma-encoded")
+    dev.add_argument("--highlights", choices=["clip", "reconstruct"],
+                     default="clip",
+                     help="blown-highlight handling: clip at white (reference "
+                          "behavior) or rebuild clipped channels from "
+                          "unclipped ones with a soft-knee rolloff")
     dev.add_argument("--temperature", type=float, default=None,
                      help="override WB by color temperature (Kelvin)")
     dev.add_argument("--repair-hot-pixels", action="store_true")
@@ -99,6 +104,7 @@ def _develop(args) -> int:
         postprocess_stages=args.postprocess,
         # Filters operate on LINEAR sRGB; gamma is re-applied after them.
         gamma_encode=not args.no_gamma and not filtering,
+        highlights=args.highlights,
     )
 
     def _split_spec(spec, default_second):

@@ -247,12 +247,12 @@ def load_raw_arw(source: Source, color_mats=None) -> RawFrame:
         list(cfa.as_bytes() if isinstance(cfa.values, bytes) else cfa.as_ints())[:4]
     )
 
-    width = raw_ifd.get(T.TAG_IMAGE_WIDTH).as_ints()[0]
-    height = raw_ifd.get(T.TAG_IMAGE_LENGTH).as_ints()[0]
+    width = raw_ifd.require(T.TAG_IMAGE_WIDTH).as_ints()[0]
+    height = raw_ifd.require(T.TAG_IMAGE_LENGTH).as_ints()[0]
     from .raw_loader import check_decode_dims
 
     check_decode_dims(height, width)
-    bits = raw_ifd.get(T.TAG_BITS_PER_SAMPLE).as_ints()[0]
+    bits = raw_ifd.require(T.TAG_BITS_PER_SAMPLE).as_ints()[0]
     comp_tag = raw_ifd.get(T.TAG_COMPRESSION)
     compression = comp_tag.as_ints()[0] if comp_tag is not None else 1
 
@@ -265,8 +265,8 @@ def load_raw_arw(source: Source, color_mats=None) -> RawFrame:
             black = np.array(bl.as_ints()[:4], np.float64)
 
     if compression == ARW2_COMPRESSION:
-        o = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
-        c = raw_ifd.get(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
+        o = raw_ifd.require(T.TAG_STRIP_OFFSETS).as_ints()[0]
+        c = raw_ifd.require(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
         from . import native
 
         if native.has_arw2():

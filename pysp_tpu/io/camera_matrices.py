@@ -6,7 +6,7 @@ reference gets them from libraw's embedded per-camera Adobe tables
 decoders: matrices are keyed by the EXIF Model string and can be registered at
 runtime (``register_camera_matrices``) or supplied per-call to the loaders.
 
-A built-in static table (``_ADOBE_D65``) covers popular bodies of the five
+A built-in static table (``_ADOBE_D65``) covers popular bodies of the nine
 built-in non-DNG formats with the Adobe DNG Converter D65 calibration
 matrices — the same published data dcraw/libraw embed (dcraw's adobe_coeff
 table; scaled by 1/10000 here). Provenance: transcribed from the
@@ -89,6 +89,19 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
     "MAXXUM 7D": (10239, -3104, -1099, -8037, 15727, 2451, -927, 925, 6871),
     "DYNAX 5D": (10284, -3283, -1086, -7957, 15762, 2316, -829, 882, 6644),
     "MAXXUM 5D": (10284, -3283, -1086, -7957, 15762, 2316, -829, 882, 6644),
+    # Samsung NX (SRW)
+    "NX1": (10686, -4042, -1052, -3595, 13238, 276, -464, 1259, 5931),
+    "NX500": (10686, -4042, -1052, -3595, 13238, 276, -464, 1259, 5931),
+    "NX10": (10332, -3234, -1168, -6111, 14639, 1520, -1352, 2647, 8331),
+    "NX11": (10332, -3234, -1168, -6111, 14639, 1520, -1352, 2647, 8331),
+    "NX100": (10332, -3234, -1168, -6111, 14639, 1520, -1352, 2647, 8331),
+    "NX20": (6933, -2268, -753, -4921, 13387, 1647, -803, 1641, 6096),
+    "NX200": (6933, -2268, -753, -4921, 13387, 1647, -803, 1641, 6096),
+    "NX210": (6933, -2268, -753, -4921, 13387, 1647, -803, 1641, 6096),
+    "NX1000": (6933, -2268, -753, -4921, 13387, 1647, -803, 1641, 6096),
+    "NX2000": (7557, -2522, -739, -4679, 12949, 1894, -840, 1777, 5311),
+    "NX300": (7557, -2522, -739, -4679, 12949, 1894, -840, 1777, 5311),
+    "NX30": (7557, -2522, -739, -4679, 12949, 1894, -840, 1777, 5311),
     # Pentax (PEF)
     "K10D": (9566, -2863, -803, -7170, 15172, 2112, -818, 803, 9705),
     "K20D": (9427, -2714, -868, -7493, 16092, 1373, -2199, 3264, 7180),

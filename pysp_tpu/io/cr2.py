@@ -155,8 +155,10 @@ def _sensor_geometry(mn: Optional[T.Ifd], shape: Tuple[int, int]):
     return active, mask
 
 
-def _sof3_precision(blob: bytes, default: int = 14) -> int:
-    """Sample precision from the lossless-JPEG SOF3 segment."""
+def _sof3_header(blob: bytes, default_prec: int = 14):
+    """(precision, height, width*components) from the lossless-JPEG SOF3
+    segment; dims are None when no SOF3 marker is found. Parsed host-side so
+    corrupt dimension fields are rejected BEFORE the native codec allocates."""
     i = 2
     while i + 5 <= len(blob):
         if blob[i] != 0xFF:
@@ -164,13 +166,23 @@ def _sof3_precision(blob: bytes, default: int = 14) -> int:
             continue
         marker = blob[i + 1]
         if marker == 0xC3:
-            return blob[i + 4]
+            if i + 10 <= len(blob):
+                h = (blob[i + 5] << 8) | blob[i + 6]
+                w = (blob[i + 7] << 8) | blob[i + 8]
+                comps = blob[i + 9]
+                return blob[i + 4], h, w * max(comps, 1)
+            return blob[i + 4], None, None
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         seg_len = (blob[i + 2] << 8) | blob[i + 3]
         i += 2 + seg_len
-    return default
+    return default_prec, None, None
+
+
+def _sof3_precision(blob: bytes, default: int = 14) -> int:
+    """Sample precision from the lossless-JPEG SOF3 segment."""
+    return _sof3_header(blob, default)[0]
 
 
 def _black_level(raw: np.ndarray, active, mask) -> float:
@@ -216,7 +228,13 @@ def load_raw_cr2(
 
     if not native.available():
         raise ValueError("CR2 decode needs the native codec: make -C native")
-    decoded = native.ljpeg_decode(bytes(tf.data[o : o + c]))
+    payload = bytes(tf.data[o : o + c])
+    _, jph, jpw = _sof3_header(payload)
+    if jph is not None:
+        from .raw_loader import check_decode_dims
+
+        check_decode_dims(jph, jpw)
+    decoded = native.ljpeg_decode(payload)
     if decoded.ndim == 3:
         jh, jw, jc = decoded.shape
         decoded = decoded.reshape(jh, jw * jc)

@@ -300,12 +300,12 @@ def load_raw_pef(source: Source, color_mats=None) -> RawFrame:
     )[:4]
     pattern = _decode_pattern(cfa_codes)
 
-    width = raw_ifd.get(T.TAG_IMAGE_WIDTH).as_ints()[0]
-    height = raw_ifd.get(T.TAG_IMAGE_LENGTH).as_ints()[0]
+    width = raw_ifd.require(T.TAG_IMAGE_WIDTH).as_ints()[0]
+    height = raw_ifd.require(T.TAG_IMAGE_LENGTH).as_ints()[0]
     from .raw_loader import check_decode_dims
 
     check_decode_dims(height, width)
-    bits = raw_ifd.get(T.TAG_BITS_PER_SAMPLE).as_ints()[0]
+    bits = raw_ifd.require(T.TAG_BITS_PER_SAMPLE).as_ints()[0]
     comp_tag = raw_ifd.get(T.TAG_COMPRESSION)
     compression = comp_tag.as_ints()[0] if comp_tag is not None else 1
 
@@ -318,8 +318,8 @@ def load_raw_pef(source: Source, color_mats=None) -> RawFrame:
         if huff is None:
             raise ValueError("PEF: missing Huffman spec (MakerNote 0x0220)")
         spec_blob = huff.as_bytes()
-        o = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
-        c = raw_ifd.get(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
+        o = raw_ifd.require(T.TAG_STRIP_OFFSETS).as_ints()[0]
+        c = raw_ifd.require(T.TAG_STRIP_BYTE_COUNTS).as_ints()[0]
         payload = bytes(tf.data[o : o + c])
         from . import native
 

@@ -177,7 +177,7 @@ def load_raw_raf(source: Source, color_mats=None) -> RawFrame:
 
     check_decode_dims(height, width)
 
-    o = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
+    o = raw_ifd.require(T.TAG_STRIP_OFFSETS).as_ints()[0]
     stored = (
         np.frombuffer(tiff_blob, tf.endian + "u2", height * width, offset=o)
         .reshape(height, width)

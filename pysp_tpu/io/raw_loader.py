@@ -20,6 +20,7 @@ from ..const import BayerPattern
 from ..core.frame import RawFrame
 from ..core.bayer import reversible_transform_rggb
 from . import tiff as T
+from .tiff import check_decode_dims  # re-export: format modules import it here
 from .metadata import (
     compute_ev_from_tiff,
     exif_get_as_shot_neutral,

@@ -299,8 +299,8 @@ def load_raw_srw(source: Source, color_mats=None) -> RawFrame:
     if raw_ifd is None:
         raise ValueError("SRW: no raw IFD found")
 
-    width = raw_ifd.get(T.TAG_IMAGE_WIDTH).as_ints()[0]
-    height = raw_ifd.get(T.TAG_IMAGE_LENGTH).as_ints()[0]
+    width = raw_ifd.require(T.TAG_IMAGE_WIDTH).as_ints()[0]
+    height = raw_ifd.require(T.TAG_IMAGE_LENGTH).as_ints()[0]
     from .raw_loader import check_decode_dims
 
     check_decode_dims(height, width)
@@ -324,7 +324,7 @@ def load_raw_srw(source: Source, color_mats=None) -> RawFrame:
         if table_tag is None:
             raise ValueError("SRW: missing strip-offset table tag 0xA010")
         table_off = table_tag.as_ints()[0]
-        data_offset = raw_ifd.get(T.TAG_STRIP_OFFSETS).as_ints()[0]
+        data_offset = raw_ifd.require(T.TAG_STRIP_OFFSETS).as_ints()[0]
         if table_off + 4 * height > len(tf.data):
             raise ValueError("SRW: strip-offset table overruns the file")
         row_offsets = np.frombuffer(tf.data, "<u4" if tf.endian == "<" else ">u4",

@@ -89,6 +89,26 @@ TAG_OPCODE_LIST_3 = 51022
 
 PHOTOMETRIC_CFA = 32803
 
+# Decode-dimension sanity caps: a corrupted dimension field in a raw container
+# must raise a clean ValueError, never trigger a multi-gigapixel allocation
+# (mutation-fuzz flips header bytes across every built-in format). The largest
+# real sensors are ~15k px/axis and ~150 MP; the caps leave generous headroom.
+MAX_DECODE_DIM = 65_535
+MAX_DECODE_PIXELS = 512 * 1024 * 1024  # 512 MP
+
+
+def check_decode_dims(height, width) -> None:
+    """Validate decoded sensor dimensions before any buffer allocation."""
+    if height is None or width is None:
+        raise ValueError("raw decode: missing dimension field")
+    h, w = int(height), int(width)
+    if h <= 0 or w <= 0:
+        raise ValueError(f"raw decode: non-positive dimensions {h}x{w}")
+    if h > MAX_DECODE_DIM or w > MAX_DECODE_DIM or h * w > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"raw decode: implausible dimensions {h}x{w} (corrupt header?)"
+        )
+
 
 def _unpack_bits(raw: bytes, bits: int, count: int) -> "np.ndarray":
     """Unpack ``count`` big-endian MSB-first ``bits``-wide samples to uint16."""
@@ -171,6 +191,14 @@ class Ifd:
     def get(self, tag: int) -> Optional[TiffTag]:
         return self.tags.get(tag)
 
+    def require(self, tag: int) -> TiffTag:
+        """Like get(), but a missing tag raises ValueError (not AttributeError
+        downstream) — required-tag reads on possibly-corrupt files use this."""
+        t = self.tags.get(tag)
+        if t is None:
+            raise ValueError(f"missing required TIFF tag {tag}")
+        return t
+
 
 @dataclass
 class TiffFile:
@@ -199,19 +227,20 @@ class TiffFile:
         """
         comp_tag = ifd.get(TAG_COMPRESSION)
         compression = comp_tag.as_ints()[0] if comp_tag is not None else 1
-        width = ifd.get(TAG_IMAGE_WIDTH).as_ints()[0]
-        height = ifd.get(TAG_IMAGE_LENGTH).as_ints()[0]
-        bits = ifd.get(TAG_BITS_PER_SAMPLE).as_ints()[0]
+        width = ifd.require(TAG_IMAGE_WIDTH).as_ints()[0]
+        height = ifd.require(TAG_IMAGE_LENGTH).as_ints()[0]
+        check_decode_dims(height, width)
+        bits = ifd.require(TAG_BITS_PER_SAMPLE).as_ints()[0]
 
         tiled = ifd.get(TAG_TILE_OFFSETS) is not None
         if tiled:
-            offsets = ifd.get(TAG_TILE_OFFSETS).as_ints()
-            counts = ifd.get(TAG_TILE_BYTE_COUNTS).as_ints()
-            tile_w = ifd.get(TAG_TILE_WIDTH).as_ints()[0]
-            tile_h = ifd.get(TAG_TILE_LENGTH).as_ints()[0]
+            offsets = ifd.require(TAG_TILE_OFFSETS).as_ints()
+            counts = ifd.require(TAG_TILE_BYTE_COUNTS).as_ints()
+            tile_w = ifd.require(TAG_TILE_WIDTH).as_ints()[0]
+            tile_h = ifd.require(TAG_TILE_LENGTH).as_ints()[0]
         else:
-            offsets = ifd.get(TAG_STRIP_OFFSETS).as_ints()
-            counts = ifd.get(TAG_STRIP_BYTE_COUNTS).as_ints()
+            offsets = ifd.require(TAG_STRIP_OFFSETS).as_ints()
+            counts = ifd.require(TAG_STRIP_BYTE_COUNTS).as_ints()
             rps_tag = ifd.get(TAG_ROWS_PER_STRIP)
             tile_w = width
             tile_h = rps_tag.as_ints()[0] if rps_tag is not None else height
@@ -271,11 +300,17 @@ def _read_value(
 ) -> Tuple[Any, Optional[int]]:
     fmt, size = _TYPES[dtype]
     total = size * count
+    if total > len(data):
+        # corrupt count field: the value cannot fit in the file at all — raise
+        # before building an unpack format string proportional to `count`
+        raise ValueError(f"TIFF tag value out of bounds (count={count})")
     value_offset = None
     if total > 4:
         (offset,) = struct.unpack(endian + "L", raw)
         payload = data[offset : offset + total]
         value_offset = offset
+        if len(payload) < total:
+            raise ValueError("TIFF tag value offset out of bounds")
     else:
         payload = raw[:total]
 

@@ -40,6 +40,11 @@ class DevelopConfig:
     # Pallas fused-postprocess kernel on TPU (bit-exact; 501 -> 531 MP/s at 24MP);
     # ignored off-TPU and forced off under vmap (manual-DMA kernels don't vmap).
     use_pallas: bool = True
+    # "clip" = reference behavior (saturate at 1.0, blown areas render white);
+    # "reconstruct" = rebuild clipped channels from unclipped ones + soft-knee
+    # compress (correct/highlights.py) — a libraw capability the reference
+    # never exposes. Reconstruction bypasses the fused megakernel tail.
+    highlights: str = "clip"
 
 
 def develop_to_image(frame: RawFrame, cfg: DevelopConfig) -> DevelopedImage:
@@ -113,6 +118,32 @@ def develop(frame: RawFrame, cfg: DevelopConfig = DevelopConfig()) -> Array:
     leave the kernel sRGB-encoded; ~2-ulp pow divergence, see ahd_mega).
     """
     from ..colorimetry.transforms import cam_to_lin_srgb_matrix
+
+    if cfg.highlights == "reconstruct":
+        from ..correct.highlights import (
+            compress_highlights,
+            reconstruct_highlights_channels,
+        )
+
+        r, g, b = _demosaic_channels(frame, cfg)
+        r, g, b = reconstruct_highlights_channels(
+            r, g, b, frame.wb_reciprocal(), frame.lim_sat
+        )
+        mat = cam_to_lin_srgb_matrix(frame.cam_mat, frame.cam_white)
+        # no pre-matrix clip: super-white survives the matrix, then a soft
+        # knee brings it under 1.0 with tonal separation before gamma
+        ir, ig, ib = _color_tail_channels(r, g, b, mat, False, False)
+        ir, ig, ib = (
+            compress_highlights(jnp.maximum(c, 0.0)) for c in (ir, ig, ib)
+        )
+        if cfg.gamma_encode:
+            from ..colorimetry.transforms import lin_srgb_to_srgb as _gamma
+
+            ir, ig, ib = _gamma(ir), _gamma(ig), _gamma(ib)
+        out = jnp.stack([ir, ig, ib], axis=-1).astype(jnp.float32)
+        if frame.source_pattern != BayerPattern.Rggb:
+            out = reversible_transform_rggb(out, frame.source_pattern)
+        return out
 
     srgb = None
     if (

@@ -84,6 +84,22 @@ def test_cr2_load_uses_registry_matrix(tmp_path):
     assert not np.allclose(got, _generic_mat(), atol=1e-3)
 
 
+def test_srw_load_uses_registry_matrix(tmp_path):
+    """A Samsung NX1000 SRW fixture loads the Adobe matrix, not the fallback."""
+    from pysp_tpu.io.raw_loader import load_raw
+    from pysp_tpu.io.srw import write_synthetic_srw
+
+    rng = np.random.default_rng(9)
+    bayer = rng.integers(100, 3000, (16, 32)).astype(np.uint16)
+    p = tmp_path / "body.srw"
+    p.write_bytes(write_synthetic_srw(bayer, model=b"SAMSUNG NX1000"))
+    frame = load_raw(str(p))
+    got = np.asarray(frame.cam_mat)
+    want = lookup_camera_matrices("NX1000")[0].mat
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert not np.allclose(got, _generic_mat(), atol=1e-3)
+
+
 def test_pef_load_uses_registry_matrix(tmp_path):
     """A PENTAX K-5 PEF fixture loads the Adobe matrix, not the generic fallback."""
     from pysp_tpu.io.pef import write_synthetic_pef
