@@ -169,6 +169,41 @@ def _model_row_zones(
     return zones
 
 
+def _model_sep_pos_error(models, h: int, w: int, dx_bounds, reach: int = 1):
+    """Position-error bound (px) of the separable two-pass remap for these CA
+    models: max |d map_y / dx| over both map directions x the horizontal tap
+    distance (see warp/rectilinear.warp_sep_pos_error — same idea, evaluated
+    from the models' radial scale curves on a host grid). Returns None when a
+    model misbehaves (callers then keep the exact kinds)."""
+    import jax
+
+    try:
+        with jax.ensure_compile_time_eval():
+            rs = jnp.asarray(np.linspace(1e-4, 1.0, 4096), jnp.float32)
+            scales = []
+            for m in models:
+                for f in (m.get_distorted(rs), m.estimate_undistorted(rs)):
+                    scales.append(np.asarray(f, np.float64) / np.linspace(1e-4, 1.0, 4096) - 1.0)
+    except Exception:
+        return None
+    if not all(np.isfinite(s).all() for s in scales):
+        return None
+    rs64 = np.linspace(1e-4, 1.0, 4096)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    r_corner = float(np.hypot(cy, cx))
+    ys = np.linspace(-cy, cy, 129)
+    xs = np.linspace(-cx, cx, 257)
+    yg, xg = np.meshgrid(ys, xs, indexing="ij")
+    r = np.clip(np.hypot(yg, xg) / r_corner, 1e-4, 1.0)
+    lx = 0.0
+    step = np.diff(xg, axis=1)
+    for sm1 in scales:
+        dy = yg * np.interp(r, rs64, sm1)
+        lx = max(lx, float((np.abs(np.diff(dy, axis=1)) / step).max()))
+    tap_dist = max(abs(int(dx_bounds[0])), abs(int(dx_bounds[1]))) + reach
+    return 1.25 * lx * tap_dist  # 1.25: finite-difference grid margin
+
+
 def remove_ca_from_raw(
     frame: RawFrame,
     lens_model_r: Optional[CaCorrectionModel],
@@ -254,6 +289,18 @@ def _remove_ca_batched(
     zones_inv = _model_row_zones(both, fh, fw, "inv")
     zones_fwd = _model_row_zones(both, fh, fw, "fwd")
 
+    # separable two-pass kind when its position-error bound beats cv2's own
+    # 1/32-px quantization (CA maps are tiny + very smooth, so this is the
+    # common case): linear instead of product select cost in the kernel
+    from ...ops.resample import SEP_POS_ERR_BUDGET
+
+    sep_err = _model_sep_pos_error(both, fh, fw, bb)
+    kind = (
+        "bilinear_sep"
+        if sep_err is not None and sep_err <= SEP_POS_ERR_BUDGET
+        else "bilinear"
+    )
+
     def maps2(coords_a, coords_b):
         xa, ya = _maps_from_offsets(coords_a, fh, fw)
         xb, yb = _maps_from_offsets(coords_b, fh, fw)
@@ -262,8 +309,10 @@ def _remove_ca_batched(
     def launch(img, mx, my, zones):
         out = None
         if zones is not None:
-            out = remap_bounded_pallas_zoned(img, mx, my, zones, "bilinear")
+            out = remap_bounded_pallas_zoned(img, mx, my, zones, kind)
         if out is None:
+            out = remap_bounded_pallas(img, mx, my, bb, bb, kind)
+        if out is None and kind != "bilinear":
             out = remap_bounded_pallas(img, mx, my, bb, bb, "bilinear")
         return out
 

@@ -914,7 +914,7 @@ def masked_fill_pallas(
 
 # --- banded remap (bounded bilinear / Lanczos4 resample) --------------------------------
 def _remap_kernel(
-    x_hbm, mx_hbm, my_hbm, out_ref, x_s, mx_s, my_s, sems, *,
+    x_hbm, mx_hbm, my_hbm, out_ref, x_s, mx_s, my_s, sems, e_s=None, *,
     tile_h: int, width: int, wq: int, pad_r: int, pad_c: int,
     dy_bounds, dx_bounds, kind: str, n_chan: int, shared_maps: bool,
     shared_img: bool,
@@ -938,6 +938,16 @@ def _remap_kernel(
     VPU transcendentals per pixel and dominated the kernel; output differs
     from remap_lanczos4 by <= ~1e-5 on [0, 1] data (vs cv2's own ~1e-3
     fixed-point weight quantization).
+
+    ``*_sep`` kinds: two-pass SEPARABLE variants (vertical resample of every
+    window column into an intermediate plane E, then the horizontal pass reads
+    shifted slices of E). Select cost is LINEAR in the displacement spans —
+    ~2(SX+SY) vs the exact kinds' 2(SY+2)SX — at the price of a bounded
+    approximation: the vertical sample position of a tap at source column c is
+    taken from the map at output column c instead of the output pixel's own
+    column x, a position error <= Lx*(|c-x|) where Lx = max |d map_y / dx|
+    (host-checkable from the warp/CA model; ~1e-2 px for real lens warps,
+    under cv2's own 1/32-px fixed-point quantization). See DIVERGENCES.md.
     """
     dy0, dy1 = dy_bounds
     dx0, dx1 = dx_bounds
@@ -978,6 +988,69 @@ def _remap_kernel(
     src = x_s[slot]
     mx = mx_s[slot][...]
     my = my_s[slot][...]
+
+    if kind.endswith("_sep"):
+        # --- pass 1: vertical resample of EVERY window column into E -------
+        # maps are DMA'd over the full halo window (width wm = wp), so each
+        # window column carries its own vertical phase; select cost = SY per
+        # tap instead of SY*SX overall.
+        wm = my.shape[-1]
+        y0w = jnp.floor(my)
+        fyw = my - y0w
+        groww = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wm), 0) + i * tile_h
+        dyw = jnp.clip(y0w.astype(jnp.int32) - groww, dy0, dy1)
+
+        def Vf(s: int):
+            """Full-width source rows at vertical offset s (no column shift)."""
+            return src[pad_r + s : pad_r + s + tile_h, :]
+
+        def vself(tap: int):
+            o = Vf(dy0 + tap)
+            for a in range(dy0 + 1, dy1 + 1):
+                o = jnp.where(dyw == a, Vf(a + tap), o)
+            return o
+
+        if kind == "bilinear_sep":
+            e_s[...] = vself(0) * (1 - fyw) + vself(1) * fyw
+        else:  # lanczos4_sep
+            from .resample import _lanczos4_weight_planes_fast
+
+            wyw = _lanczos4_weight_planes_fast(fyw)
+            acc = jnp.zeros((tile_h, wm), jnp.float32)
+            for j in range(8):
+                o = Vf(dy0 + j - 3)
+                for a in range(dy0 + 1, dy1 + 1):
+                    o = jnp.where(dyw == a, Vf(a + j - 3), o)
+                acc = acc + wyw[j] * o
+            e_s[...] = acc
+
+        # --- pass 2: horizontal resample of E at the output columns --------
+        mxo = mx[:, pad_c : pad_c + wq]
+        x0 = jnp.floor(mxo)
+        fx = mxo - x0
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, wq), 1)
+        dxv = jnp.clip(x0.astype(jnp.int32) - gcol, dx0, dx1)
+
+        def hself(tap: int):
+            o = e_s[:, pad_c + dx0 + tap : pad_c + dx0 + tap + wq]
+            for b in range(dx0 + 1, dx1 + 1):
+                o = jnp.where(
+                    dxv == b, e_s[:, pad_c + b + tap : pad_c + b + tap + wq], o
+                )
+            return o
+
+        if kind == "bilinear_sep":
+            res = hself(0) * (1 - fx) + hself(1) * fx
+        else:
+            from .resample import _lanczos4_weight_planes_fast
+
+            wx = _lanczos4_weight_planes_fast(fx)
+            res = jnp.zeros((tile_h, wq), jnp.float32)
+            for jj in range(8):
+                res = res + wx[jj] * hself(jj - 3)
+
+        out_ref[0] = res[:, :width]
+        return
 
     x0 = jnp.floor(mx)
     y0 = jnp.floor(my)
@@ -1062,6 +1135,7 @@ def remap_bounded_pallas_zoned(
     img: Array, map_x: Array, map_y: Array,
     zones, kind: str = "bilinear",
     tile_h: int = 0, interpret: bool = False,
+    kinds=None,
 ):
     """Row-zoned banded remap: one kernel launch per horizontal zone, each with
     that zone's own (tighter) displacement bounds.
@@ -1079,6 +1153,12 @@ def remap_bounded_pallas_zoned(
     an integer w0 <= map magnitude, and f32 subtraction of an integer multiple
     of the map's ulp is exact, so floor/fraction (and therefore every tap and
     weight) are unchanged (gated in tests/test_remap_pallas.py).
+
+    ``kinds``: optional per-zone kind list (parallel to ``zones``) — radial
+    maps have their largest |d map_y/dx| at the outer rows, so central zones
+    can ride the cheap separable kinds while outer zones stay exact (callers
+    compute the per-zone position-error bound host-side). All kinds must share
+    the same kernel reach (bilinear* or lanczos4* together).
     """
     squeeze = img.ndim == 2 and map_x.ndim == 2
     img3 = img[None] if img.ndim == 2 else img
@@ -1090,10 +1170,16 @@ def remap_bounded_pallas_zoned(
     for (a, b, _, _), (c, d, _, _) in zip(zones, zones[1:]):
         if b != c:
             return None
-    reach = 4 if kind == "lanczos4" else 1
+    reach = 4 if kind.startswith("lanczos4") else 1
+    if kinds is None:
+        kinds = [kind] * len(zones)
+    if len(kinds) != len(zones) or any(
+        (4 if k.startswith("lanczos4") else 1) != reach for k in kinds
+    ):
+        return None
 
     parts = []
-    for r0, r1, dyb, dxb in zones:
+    for (r0, r1, dyb, dxb), zkind in zip(zones, kinds):
         dy0, dy1 = int(dyb[0]), int(dyb[1])
         w0 = max(0, r0 + dy0 - reach)
         w1 = min(h, r1 + dy1 + reach + 1)
@@ -1109,7 +1195,7 @@ def remap_bounded_pallas_zoned(
             my_z,
             (dy0 + r0 - w0, dy1 + r0 - w0),
             (int(dxb[0]), int(dxb[1])),
-            kind,
+            zkind,
             tile_h=tile_h,
             interpret=interpret,
         )
@@ -1148,13 +1234,20 @@ def remap_bounded_pallas(
         return None
     dy0, dy1 = int(dy_bounds[0]), int(dy_bounds[1])
     dx0, dx1 = int(dx_bounds[0]), int(dx_bounds[1])
-    reach = 4 if kind == "lanczos4" else 1
+    if kind not in ("bilinear", "lanczos4", "bilinear_sep", "lanczos4_sep"):
+        return None
+    sep = kind.endswith("_sep")
+    reach = 4 if kind.startswith("lanczos4") else 1
     s_min, s_max = dy0 - reach + 1, dy1 + reach
     t_min, t_max = dx0 - reach + 1, dx1 + reach
     pad_r = _round_up(max(max(0, -s_min), max(0, s_max), 1), _ALIGN)
     pad_c = max(0, -t_min)
 
-    if pad_r > 64 or dy1 - dy0 > 48 or dx1 - dx0 > 48:
+    if sep:
+        # linear select cost and far fewer live wires: bigger spans compile
+        if pad_r > 128 or dy1 - dy0 > 96 or dx1 - dx0 > 96:
+            return None
+    elif pad_r > 64 or dy1 - dy0 > 48 or dx1 - dx0 > 48:
         # On-chip sweep (benchmarks/remap_tile_sweep.py) verified spans up to
         # (30, 45) at tiles <= 32; a (87, 127)-span launch spills VMEM even at
         # tile 8. Callers' own caps (warp <= 34, CA <= 24) sit well inside.
@@ -1164,13 +1257,20 @@ def remap_bounded_pallas(
     # launch), so the live estimate is deliberately fat and the tile capped low.
     if kind == "lanczos4":
         live = 3 * ((dy1 - dy0 + 9) + (dx1 - dx0 + 9)) + 30
+    elif kind == "lanczos4_sep":
+        live = 48
+    elif kind == "bilinear_sep":
+        live = 24
     else:
         live = 6 * (dy1 - dy0 + 2) + 16
     wq = _round_up(w, _LANE)
     wp = _round_up(pad_c + wq + max(t_max, 0), _LANE)
     if tile_h == 0:
-        # height needn't divide (rows are padded to a tile multiple below)
-        budget_rows = (_VMEM_LIMIT // 2) // max(live * wq * 4, 1)
+        # height needn't divide (rows are padded to a tile multiple below).
+        # /3: Mosaic's actual stack allocation ran up to ~2.5x this estimate
+        # near the span caps (a (30, 46)-span bilinear at tile 32 hit 103.5M
+        # of the 100M scoped limit), so size the tile for a third of VMEM.
+        budget_rows = (_VMEM_LIMIT // 3) // max(live * wq * 4, 1)
         tile_h = max(8, min(32, budget_rows - budget_rows % 8))
     if tile_h % 8:
         return None
@@ -1182,12 +1282,16 @@ def remap_bounded_pallas(
         mode="edge",
     )
     maps_p = []
+    # sep kinds read the maps over the full halo window (pass 1 needs every
+    # window column's vertical phase), so pad them exactly like the image
+    wmap = wp if sep else wq
+    mpad_l = pad_c if sep else 0
     for m in (map_x, map_y):
         m3 = m[None] if shared_maps else m
         maps_p.append(
             jnp.pad(
                 m3.astype(jnp.float32),
-                ((0, 0), (0, hp - h), (0, wq - w)),
+                ((0, 0), (0, hp - h), (mpad_l, wmap - mpad_l - w)),
                 mode="edge",
             )
         )
@@ -1207,10 +1311,11 @@ def remap_bounded_pallas(
         out_shape=jax.ShapeDtypeStruct((n_chan, hp, w), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 2 * pad_r, wp), jnp.float32),
-            pltpu.VMEM((2, tile_h, wq), jnp.float32),
-            pltpu.VMEM((2, tile_h, wq), jnp.float32),
+            pltpu.VMEM((2, tile_h, wmap), jnp.float32),
+            pltpu.VMEM((2, tile_h, wmap), jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
-        ],
+        ]
+        + ([pltpu.VMEM((tile_h, wp), jnp.float32)] if sep else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(img_p, *maps_p)

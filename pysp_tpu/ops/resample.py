@@ -256,6 +256,14 @@ def remap_lanczos4_bounded(
     return out
 
 
+# Accuracy budget (px) for the separable two-pass banded-remap kinds: callers
+# enable "*_sep" only when the host-computed position-error bound sits below
+# cv2's own fixed-point position quantization (1/32 px, INTER_BITS=5) — i.e.
+# never less accurate than the reference's resampler. See
+# pallas_kernels._remap_kernel and warp/rectilinear.warp_sep_pos_error.
+SEP_POS_ERR_BUDGET = 1.0 / 32.0
+
+
 def remap_bounded(
     img: Array, map_x: Array, map_y: Array,
     dy_bounds: Tuple[int, int], dx_bounds: Tuple[int, int],

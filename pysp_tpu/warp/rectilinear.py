@@ -150,6 +150,57 @@ def displacement_bounds(
     return dyb, dxb
 
 
+def warp_sep_pos_error(
+    coeffs_list,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float,
+    dx_bounds,
+    reach: int,
+    row_range: Optional[Tuple[int, int]] = None,
+) -> float:
+    """Position-error bound (px) of the SEPARABLE two-pass remap for this warp.
+
+    The ``*_sep`` banded-remap kinds read the vertical phase at the tap column
+    instead of the output column (ops/pallas_kernels._remap_kernel), so the
+    vertical sample position is off by at most
+    ``max |d map_y / dx| * (max horizontal tap distance)``. Both factors are
+    host-computable: the Lipschitz constant from finite differences of the f64
+    map on the bounds grid, the tap distance from the dx bounds + kernel reach.
+    Callers enable the sep kinds only when this is below the accuracy budget
+    (cv2's own fixed-point resampler quantizes positions to 1/32 px, so a
+    bound under that is strictly better than reference behavior).
+
+    ``row_range`` restricts the sweep to output rows [r0, r1): radial warps
+    have |d map_y/dx| ~ |y - cy|, so central zones bound far tighter than the
+    whole frame — per-zone kinds for remap_bounded_pallas_zoned.
+    """
+    import numpy as np
+
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    r0, r1 = (0, height) if row_range is None else row_range
+    xs = np.unique(np.r_[np.arange(0, width, max(1, width // 256)), width - 1])
+    ys = np.unique(np.r_[np.arange(r0, r1, max(1, (r1 - r0) // 256)), r1 - 1])
+    sy, sx = np.meshgrid(ys.astype(np.float64), xs.astype(np.float64), indexing="ij")
+    lx = 0.0
+    for coeffs in coeffs_list:
+        k = np.asarray(coeffs, np.float64)
+        dx = (sx - cx) / m
+        dy = (sy - cy) / m
+        r2 = dx * dx + dy * dy
+        f = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
+        dyt = k[5] * (2 * dx * dy) + k[4] * (r2 + 2 * dy * dy)
+        yp = cy + m * (f * dy + dyt)
+        out_y = np.clip(sy + (yp - sy) * scale, 0, height - 1)
+        step = np.diff(sx, axis=1)
+        lx = max(lx, float((np.abs(np.diff(out_y, axis=1)) / step).max()))
+    tap_dist = max(abs(int(dx_bounds[0])), abs(int(dx_bounds[1]))) + reach
+    # 1.25: margin for the finite-difference grid (interval averages can sit
+    # slightly under the pointwise max of the smooth polynomial derivative)
+    return 1.25 * lx * tap_dist
+
+
 def warp_image_rectilinear(
     image: Array,
     coefficients,
@@ -195,14 +246,50 @@ def warp_image_rectilinear(
         mx, my = jnp.stack(xs), jnp.stack(ys)
 
     from ..ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
+    from ..ops.resample import SEP_POS_ERR_BUDGET
+
+    # separable two-pass kind when its position-error bound beats cv2's own
+    # 1/32-px fixed-point quantization (see warp_sep_pos_error) — linear
+    # instead of product select cost, and larger spans stay off the gather wall
+    kind = interpolation
+    if interpolation in ("bilinear", "lanczos4"):
+        reach = 4 if interpolation == "lanczos4" else 1
+        err = warp_sep_pos_error(
+            list(dict.fromkeys(coeffs)), w, h, cam_center_norm, scale, dxb, reach
+        )
+        if err <= SEP_POS_ERR_BUDGET:
+            kind = interpolation + "_sep"
 
     out = None
     zones = warp_row_zones(coeffs, w, h, cam_center_norm, scale)
     if zones is not None:
+        # per-zone kinds: central zones have |d map_y/dx| ~ |y - cy| near zero,
+        # so they ride the cheap separable kind even when the global bound
+        # fails (outer zones stay exact)
+        kinds = None
+        if interpolation in ("bilinear", "lanczos4") and kind == interpolation:
+            reach = 4 if interpolation == "lanczos4" else 1
+            kinds = []
+            for r0, r1, _, z_dxb in zones:
+                z_err = warp_sep_pos_error(
+                    list(dict.fromkeys(coeffs)), w, h, cam_center_norm,
+                    scale, z_dxb, reach, row_range=(r0, r1),
+                )
+                kinds.append(
+                    interpolation + "_sep"
+                    if z_err <= SEP_POS_ERR_BUDGET
+                    else interpolation
+                )
+            if all(k == interpolation for k in kinds):
+                kinds = None
         out = remap_bounded_pallas_zoned(
-            jnp.moveaxis(image, -1, 0), mx, my, zones, interpolation
+            jnp.moveaxis(image, -1, 0), mx, my, zones, kind, kinds=kinds
         )
     if out is None:
+        out = remap_bounded_pallas(
+            jnp.moveaxis(image, -1, 0), mx, my, dyb, dxb, kind
+        )
+    if out is None and kind != interpolation:
         out = remap_bounded_pallas(
             jnp.moveaxis(image, -1, 0), mx, my, dyb, dxb, interpolation
         )

@@ -257,3 +257,131 @@ def test_remap_pallas_zoned_channel_stack_shared_maps():
     got = remap_bounded_pallas_zoned(img, mx, my, zones, "bilinear", interpret=True)
     assert got is not None and got.shape == (2, h, w)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# --- separable two-pass kinds ("bilinear_sep" / "lanczos4_sep") -----------------------
+def _smooth_image(h, w, seed=0):
+    """Band-limited noise + a hard edge (position-error sensitivity probe)."""
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w), np.float32)
+    for _ in range(2):
+        img = (np.roll(img, 1, 0) + np.roll(img, -1, 0) + np.roll(img, 1, 1)
+               + np.roll(img, -1, 1) + 4 * img) / 8.0
+    img[:, w // 2:] += 0.4
+    return jnp.asarray(img.astype(np.float32))
+
+
+@pytest.mark.parametrize("kind", ["bilinear_sep", "lanczos4_sep"])
+def test_remap_sep_exact_on_axis_separable_map(kind):
+    """When map_y is constant along x the separable approximation vanishes:
+    the sep kinds must match the gather remap to association-order ulps."""
+    rng = np.random.default_rng(11)
+    h, w = 48, 200
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    my = np.clip(yy + 2.5 * np.sin(yy / 11.0), 0, h - 1)
+    mx = np.clip(xx + 1.5 * np.cos(xx / 17.0), 0, w - 1)
+    dyb = (int(np.floor((my - yy).min())), int(np.floor((my - yy).max())))
+    dxb = (int(np.floor((mx - xx).min())), int(np.floor((mx - xx).max())))
+    mx, my = jnp.asarray(mx.astype(np.float32)), jnp.asarray(my.astype(np.float32))
+
+    ref = remap_bilinear if kind == "bilinear_sep" else remap_lanczos4
+    want = np.asarray(ref(img, mx, my))
+    got = remap_bounded_pallas(img, mx, my, dyb, dxb, kind, interpret=True)
+    assert got is not None
+    atol = 1e-6 if kind == "bilinear_sep" else 3e-5
+    np.testing.assert_allclose(np.asarray(got), want, atol=atol, rtol=0)
+
+
+@pytest.mark.parametrize("kind", ["bilinear_sep", "lanczos4_sep"])
+def test_remap_sep_error_within_position_bound(kind):
+    """On a smooth 2D radial map the sep kinds deviate from the exact remap by
+    at most (max |d map_y/dx| * horizontal reach) * local gradient — the
+    documented approximation (kernel docstring). Gate at the analytic bound."""
+    h, w = 64, 176
+    img = _smooth_image(h, w, seed=3)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    r2 = ((yy - cy) / cy) ** 2 + ((xx - cx) / cx) ** 2
+    s = 1.0 + 0.03 * r2
+    my = np.clip(cy + (yy - cy) * s, 0, h - 1)
+    mx = np.clip(cx + (xx - cx) * s, 0, w - 1)
+    dyb = (int(np.floor((my - yy).min())), int(np.floor((my - yy).max())))
+    dxb = (int(np.floor((mx - xx).min())), int(np.floor((mx - xx).max())))
+    reach = 4 if kind.startswith("lanczos4") else 1
+    lx = np.abs(np.diff(my, axis=1)).max()
+    pos_err = lx * (max(abs(dxb[0]), abs(dxb[1])) + reach)
+    grad = max(
+        np.abs(np.diff(np.asarray(img), axis=0)).max(),
+        np.abs(np.diff(np.asarray(img), axis=1)).max(),
+    )
+    mxj, myj = jnp.asarray(mx.astype(np.float32)), jnp.asarray(my.astype(np.float32))
+
+    exact_kind = "bilinear" if kind == "bilinear_sep" else "lanczos4"
+    want = remap_bounded_pallas(img, mxj, myj, dyb, dxb, exact_kind, interpret=True)
+    got = remap_bounded_pallas(img, mxj, myj, dyb, dxb, kind, interpret=True)
+    assert want is not None and got is not None
+    d = np.abs(np.asarray(got) - np.asarray(want))[4:-4, 4:-4]
+    # lanczos overshoots on edges: allow a small kernel-dependent factor
+    factor = 1.0 if kind == "bilinear_sep" else 2.0
+    assert d.max() <= factor * pos_err * grad + 1e-5, (d.max(), pos_err, grad)
+
+
+def test_remap_sep_zoned_and_channel_stack():
+    """Zoned sep launches == the unzoned sep kernel (integer rebase is exact
+    for the sep math too), through the (C, H, W) shared-map stack."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_zoned
+
+    rng = np.random.default_rng(13)
+    h, w = 64, 144
+    img = jnp.asarray(rng.random((2, h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.05, seed=17)
+
+    want = remap_bounded_pallas(img, mx, my, dyb, dxb, "bilinear_sep", interpret=True)
+    assert want is not None
+
+    yy = np.mgrid[0:h, 0:w][0].astype(np.float64)
+    myn = np.asarray(my, np.float64)
+    zones = []
+    for r0, r1 in ((0, 16), (16, 40), (40, h)):
+        d = (myn - yy)[r0:r1]
+        zones.append(
+            (r0, r1,
+             (int(np.floor(d.min())) - 1, int(np.floor(d.max())) + 1),
+             dxb)
+        )
+    got = remap_bounded_pallas_zoned(img, mx, my, zones, "bilinear_sep", interpret=True)
+    assert got is not None and got.shape == (2, h, w)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_remap_zoned_mixed_kinds():
+    """Per-zone ``kinds``: each zone's rows equal the same-kind full-frame
+    kernel's rows (the zoned integer rebase is exact for both kinds)."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_zoned
+
+    rng = np.random.default_rng(29)
+    h, w = 64, 144
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.05, seed=23)
+
+    full = {
+        k: np.asarray(remap_bounded_pallas(img, mx, my, dyb, dxb, k, interpret=True))
+        for k in ("bilinear", "bilinear_sep")
+    }
+
+    rows = ((0, 16), (16, 40), (40, h))
+    kinds = ["bilinear_sep", "bilinear", "bilinear_sep"]
+    zones = [(r0, r1, dyb, dxb) for r0, r1 in rows]
+    got = remap_bounded_pallas_zoned(
+        img, mx, my, zones, "bilinear", kinds=kinds, interpret=True
+    )
+    assert got is not None
+    for (r0, r1), k in zip(rows, kinds):
+        np.testing.assert_array_equal(np.asarray(got)[r0:r1], full[k][r0:r1])
+
+    # reach-mismatched kinds must be declined, not mis-launched
+    assert remap_bounded_pallas_zoned(
+        img, mx, my, zones, "bilinear", kinds=["lanczos4", "bilinear", "bilinear"],
+        interpret=True,
+    ) is None
