@@ -169,12 +169,24 @@ def _model_row_zones(
     return zones
 
 
-def _model_sep_pos_error(models, h: int, w: int, dx_bounds, reach: int = 1):
+def _model_sep_pos_error(
+    models,
+    h: int,
+    w: int,
+    dx_bounds,
+    reach: int = 1,
+    direction: str = "both",
+    row_range=None,
+):
     """Position-error bound (px) of the separable two-pass remap for these CA
-    models: max |d map_y / dx| over both map directions x the horizontal tap
-    distance (see warp/rectilinear.warp_sep_pos_error — same idea, evaluated
-    from the models' radial scale curves on a host grid). Returns None when a
-    model misbehaves (callers then keep the exact kinds)."""
+    models: max |d map_y / dx| over the given map direction(s) x the horizontal
+    tap distance (see warp/rectilinear.warp_sep_pos_error — same idea, evaluated
+    from the models' radial scale curves on a host grid). ``direction`` picks
+    which maps a launch actually uses ("inv" = G-alignment warps, "fwd" =
+    back-warps, "both" = union); ``row_range`` restricts to output rows
+    [r0, r1) — |d map_y/dx| ~ |y - cy| for radial models, so central zones
+    bound far tighter than the whole frame (per-zone kinds). Returns None when
+    a model misbehaves (callers then keep the exact kinds)."""
     import jax
 
     try:
@@ -182,7 +194,12 @@ def _model_sep_pos_error(models, h: int, w: int, dx_bounds, reach: int = 1):
             rs = jnp.asarray(np.linspace(1e-4, 1.0, 4096), jnp.float32)
             scales = []
             for m in models:
-                for f in (m.get_distorted(rs), m.estimate_undistorted(rs)):
+                fs = []
+                if direction in ("both", "fwd"):
+                    fs.append(m.get_distorted(rs))
+                if direction in ("both", "inv"):
+                    fs.append(m.estimate_undistorted(rs))
+                for f in fs:
                     scales.append(np.asarray(f, np.float64) / np.linspace(1e-4, 1.0, 4096) - 1.0)
     except Exception:
         return None
@@ -191,7 +208,8 @@ def _model_sep_pos_error(models, h: int, w: int, dx_bounds, reach: int = 1):
     rs64 = np.linspace(1e-4, 1.0, 4096)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     r_corner = float(np.hypot(cy, cx))
-    ys = np.linspace(-cy, cy, 129)
+    r0, r1 = (0, h) if row_range is None else row_range
+    ys = np.linspace(r0, r1 - 1, 129) - cy
     xs = np.linspace(-cx, cx, 257)
     yg, xg = np.meshgrid(ys, xs, indexing="ij")
     r = np.clip(np.hypot(yg, xg) / r_corner, 1e-4, 1.0)
@@ -301,15 +319,34 @@ def _remove_ca_batched(
         else "bilinear"
     )
 
+    def zone_kinds(zones, direction):
+        # per-zone kinds (warp_image_rectilinear's trick): |d map_y/dx| ~
+        # |y - cy| for radial models, so central zones ride the cheap
+        # separable kind even when the global bound fails — and each launch
+        # only uses one map direction, which bounds tighter than the union
+        if zones is None or kind == "bilinear_sep":
+            return None
+        ks = []
+        for r0, r1, _, z_dxb in zones:
+            z_err = _model_sep_pos_error(
+                both, fh, fw, z_dxb, direction=direction, row_range=(r0, r1)
+            )
+            ks.append(
+                "bilinear_sep"
+                if z_err is not None and z_err <= SEP_POS_ERR_BUDGET
+                else "bilinear"
+            )
+        return None if all(k == "bilinear" for k in ks) else ks
+
     def maps2(coords_a, coords_b):
         xa, ya = _maps_from_offsets(coords_a, fh, fw)
         xb, yb = _maps_from_offsets(coords_b, fh, fw)
         return jnp.stack([xa, xb]), jnp.stack([ya, yb])
 
-    def launch(img, mx, my, zones):
+    def launch(img, mx, my, zones, kinds=None):
         out = None
         if zones is not None:
-            out = remap_bounded_pallas_zoned(img, mx, my, zones, kind)
+            out = remap_bounded_pallas_zoned(img, mx, my, zones, kind, kinds=kinds)
         if out is None:
             out = remap_bounded_pallas(img, mx, my, bb, bb, kind)
         if out is None and kind != "bilinear":
@@ -320,7 +357,7 @@ def _remove_ca_batched(
         lens_model_r.get_undistorted_coordinates(g_resampled),
         lens_model_b.get_undistorted_coordinates(g_resampled),
     )
-    g_at = launch(g_resampled, mx, my, zones_inv)
+    g_at = launch(g_resampled, mx, my, zones_inv, zone_kinds(zones_inv, "inv"))
     if g_at is None:
         return None
 
@@ -331,7 +368,10 @@ def _remove_ca_batched(
         lens_model_r.get_distorted_coordinates(r_resampled),
         lens_model_b.get_distorted_coordinates(b_resampled),
     )
-    back = launch(jnp.stack([r_resampled, b_resampled]), mx2, my2, zones_fwd)
+    back = launch(
+        jnp.stack([r_resampled, b_resampled]), mx2, my2, zones_fwd,
+        zone_kinds(zones_fwd, "fwd"),
+    )
     if back is None:
         return None
 

@@ -383,3 +383,47 @@ def test_remove_ca_apply_matches_cv2_transcription():
     mse = np.mean((got.astype(np.float64) - want.astype(np.float64)) ** 2)
     p = np.inf if mse == 0 else 10 * np.log10(1.0 / mse)
     assert p > 50, p
+
+
+def test_model_sep_pos_error_zone_and_direction_bounds():
+    """Host-side sep-kind gating (removal._model_sep_pos_error): the global
+    bound for config-5's CA model exceeds the 1/32-px budget, central row
+    zones bound tighter than outer ones, and fine zoning brings the innermost
+    zones under budget (what lets remove_ca ride the separable kind)."""
+    from pysp_tpu.correct.ca.removal import (
+        _model_bound_px,
+        _model_row_zones,
+        _model_sep_pos_error,
+    )
+    from pysp_tpu.ops.resample import SEP_POS_ERR_BUDGET
+
+    model = Poly3CorrectionModel(0.01)
+    both = (model, model)
+    h, w = 1000, 1504
+    bound = _model_bound_px(model, h, w)
+    bb = (-bound, bound)
+
+    glob = _model_sep_pos_error(both, h, w, bb)
+    assert glob is not None and glob > SEP_POS_ERR_BUDGET
+
+    # one-direction restriction can only tighten the union bound
+    for d in ("inv", "fwd"):
+        e = _model_sep_pos_error(both, h, w, bb, direction=d)
+        assert e <= glob * (1 + 1e-9)
+
+    for n_zones, expect_sep in ((4, False), (16, True)):
+        zones = _model_row_zones(both, h, w, "inv", n_zones=n_zones)
+        assert zones is not None and len(zones) == n_zones
+        errs = [
+            _model_sep_pos_error(
+                both, h, w, zdxb, direction="inv", row_range=(r0, r1)
+            )
+            for r0, r1, _, zdxb in zones
+        ]
+        assert all(e is not None and np.isfinite(e) for e in errs)
+        # |d map_y/dx| ~ |y - cy|: central zones bound tighter than the edges
+        assert max(errs[len(errs) // 2 - 1 : len(errs) // 2 + 1]) < min(
+            errs[0], errs[-1]
+        )
+        if expect_sep:
+            assert min(errs) <= SEP_POS_ERR_BUDGET
