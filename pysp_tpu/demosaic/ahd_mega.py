@@ -15,6 +15,7 @@ DIVERGENCES.md.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..colorimetry.transforms import cam_to_lin_srgb_matrix
@@ -115,6 +116,22 @@ def _mega_chunked(planes, mat, wb, is_hdr, stages: int, interpret: bool,
     return pieces
 
 
+def _stitch_edges(c, t, bo, le, ri, f: int, s: int, h: int, w: int):
+    """Overwrite the f-wide global-border frame of ``c`` with the XLA strips.
+
+    dynamic_update_slice instead of the former two-concatenate topology: the
+    concats rewrote the full channel twice (~1.7 ms/3ch at 24 MP vs 0.63 —
+    benchmarks/border_probe.py) and forced the phase-interleave producer to
+    materialize separately. Values are identical: row strips first, then the
+    full-height column strips override the corners, exactly as the concat
+    version's precedence did."""
+    c = jax.lax.dynamic_update_slice(c, t[:f, :], (0, 0))
+    c = jax.lax.dynamic_update_slice(c, bo[s - f :, :], (h - f, 0))
+    c = jax.lax.dynamic_update_slice(c, le[:, :f], (0, 0))
+    c = jax.lax.dynamic_update_slice(c, ri[:, s - f :], (0, w - f))
+    return c
+
+
 def demosaic_ahd_mega(
     frame: RawFrame, postprocess_stages: int = 1, interpret: bool = False
 ):
@@ -151,11 +168,10 @@ def demosaic_ahd_mega(
     left = crop(slice(None), slice(0, s))
     right = crop(slice(None), slice(w - s, w))
 
-    stitched = []
-    for c, t, bo, le, ri in zip(chans, top, bot, left, right):
-        c = jnp.concatenate([t[:f, :], c[f : h - f, :], bo[s - f :, :]], axis=0)
-        c = jnp.concatenate([le[:, :f], c[:, f : w - f], ri[:, s - f :]], axis=1)
-        stitched.append(c)
+    stitched = [
+        _stitch_edges(c, t, bo, le, ri, f, s, h, w)
+        for c, t, bo, le, ri in zip(chans, top, bot, left, right)
+    ]
     return stitched[0], stitched[1], stitched[2]
 
 
@@ -170,7 +186,12 @@ def develop_channels_mega(
     Border strips run the exact XLA path (demosaic + identical channelwise tail).
     Returns stitched (r, g, b) sRGB channels, or None when the megakernel can't
     run (caller falls back to the unfused path). Tail values differ from the XLA
-    path only by Mosaic's exp(log·p) pow (~2 ulp; no decisions downstream)."""
+    path only by Mosaic's exp(log·p) pow (~2 ulp; no decisions downstream).
+
+    A fused (H, W, 3) producer variant (stack before stitch, 3-D DUS) was
+    probed and REJECTED: 17.5-17.7 ms vs 15.6-16.1 ms for this per-channel
+    form at 24 MP — C=3 as the minor dim wastes 125/128 lanes in every
+    post-stack op (BASELINE.md round-3 ledger)."""
     from ..pipeline.develop import _color_tail_channels
 
     h, w = frame.bayer.shape[-2], frame.bayer.shape[-1]
@@ -188,11 +209,6 @@ def develop_channels_mega(
     if out is None:
         return None
 
-    chans = [
-        quad_to_bayer(((out[k], out[k + 1]), (out[k + 2], out[k + 3])))
-        for k in (0, 4, 8)
-    ]
-
     def crop(rows, cols):
         sub = frame.replace(bayer=frame.bayer[rows, cols])
         rr, gg, bb = demosaic_ahd_channels(sub, postprocess_stages)
@@ -203,9 +219,12 @@ def develop_channels_mega(
     left = crop(slice(None), slice(0, s))
     right = crop(slice(None), slice(w - s, w))
 
-    stitched = []
-    for c, t, bo, le, ri in zip(chans, top, bot, left, right):
-        c = jnp.concatenate([t[:f, :], c[f : h - f, :], bo[s - f :, :]], axis=0)
-        c = jnp.concatenate([le[:, :f], c[:, f : w - f], ri[:, s - f :]], axis=1)
-        stitched.append(c)
+    chans = [
+        quad_to_bayer(((out[k], out[k + 1]), (out[k + 2], out[k + 3])))
+        for k in (0, 4, 8)
+    ]
+    stitched = [
+        _stitch_edges(c, t, bo, le, ri, f, s, h, w)
+        for c, t, bo, le, ri in zip(chans, top, bot, left, right)
+    ]
     return stitched[0], stitched[1], stitched[2]
