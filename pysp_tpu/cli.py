@@ -41,9 +41,13 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--denoise", type=float, default=0.0, metavar="STRENGTH",
                      help="Bayer-domain wavelet noise reduction before "
                           "demosaic (~1.0 targets the estimated noise floor)")
-    dev.add_argument("--ca", action="store_true",
-                     help="fit and remove lateral chromatic aberration "
-                          "(blind, in-mosaic Poly5 fit)")
+    dev.add_argument("--ca", nargs="?", const="template", default=None,
+                     choices=["template", "gradient"],
+                     help="fit and remove lateral chromatic aberration. "
+                          "'template' (default): blind in-mosaic Poly5 tile "
+                          "template-match fit; 'gradient': differentiable "
+                          "Poly3 fit by Adam descent on channel alignment "
+                          "(works on featureless scenes too)")
     dev.add_argument("--warp", action="store_true",
                      help="apply the file's embedded DNG OpcodeList3 "
                           "rectilinear warp to the output")
@@ -216,18 +220,24 @@ def _develop(args) -> int:
             frame = load_raw(src)
 
         if args.ca:
-            from .correct.ca.removal import (
-                compute_ca_lens_models_for_raw,
-                remove_ca_from_raw,
-            )
+            from .correct.ca.removal import remove_ca_from_raw
 
-            try:
-                model_r, model_b = compute_ca_lens_models_for_raw(frame)
-            except ValueError as e:
-                # e.g. "Not enough tiles": featureless scene — leave untouched
-                print(f"{src}: CA fit failed ({e}); --ca skipped", file=sys.stderr)
-            else:
+            if args.ca == "gradient":
+                from .correct.ca.gradfit import fit_ca_models_gradient
+
+                model_r, model_b = fit_ca_models_gradient(frame)
                 frame = remove_ca_from_raw(frame, model_r, model_b)
+            else:
+                from .correct.ca.removal import compute_ca_lens_models_for_raw
+
+                try:
+                    model_r, model_b = compute_ca_lens_models_for_raw(frame)
+                except ValueError as e:
+                    # e.g. "Not enough tiles": featureless scene — untouched
+                    print(f"{src}: CA fit failed ({e}); --ca skipped",
+                          file=sys.stderr)
+                else:
+                    frame = remove_ca_from_raw(frame, model_r, model_b)
 
         def _apply_warp(out_host, src=src):
             if not args.warp:

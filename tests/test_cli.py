@@ -104,6 +104,18 @@ def test_cli_develop_ca(dng_path, tmp_path, capsys):
     assert "CA fit failed" in capsys.readouterr().err
 
 
+def test_cli_develop_ca_gradient(dng_path, tmp_path, capsys):
+    """--ca gradient needs no detectable features: the differentiable fit
+    runs (and corrects) even on the featureless fixture the template fit
+    rejects above."""
+    out = str(tmp_path / "ca_grad.png")
+    assert main(
+        ["develop", dng_path, "-o", out, "--quality", "draft", "--ca", "gradient"]
+    ) == 0
+    assert _read_png(out).shape == (64, 96, 3)
+    assert "CA fit failed" not in capsys.readouterr().err
+
+
 def test_cli_temperature_works_on_arw(arw_path, tmp_path):
     """--temperature rebuilds WB for MakerNote formats too (used to require a
     DNG: the old path went through load_raw_dng + EXIF matrices only)."""
