@@ -75,7 +75,12 @@ from .correct.ca.models import (
 from .correct.ca.instability import compute_structural_instability
 from .correct.ca.models import lensfun_poly3_remap_coords
 from .correct.ca.removal import compute_ca_lens_models_for_raw, remove_ca_from_raw
-from .correct.ca.gradfit import fit_ca_models_gradient, fit_poly3_gradient
+from .correct.ca.gradfit import (
+    fit_ca_models_gradient,
+    fit_poly3_gradient,
+    fit_radial_gradient,
+    refine_ca_models_gradient,
+)
 from .io.raw_loader import load_burst
 from .ops.resample import bilinear_sample, remap_bilinear, remap_lanczos4
 from .parallel.mesh import make_mesh

@@ -42,12 +42,13 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="Bayer-domain wavelet noise reduction before "
                           "demosaic (~1.0 targets the estimated noise floor)")
     dev.add_argument("--ca", nargs="?", const="template", default=None,
-                     choices=["template", "gradient"],
+                     choices=["template", "gradient", "refine"],
                      help="fit and remove lateral chromatic aberration. "
                           "'template' (default): blind in-mosaic Poly5 tile "
                           "template-match fit; 'gradient': differentiable "
                           "Poly3 fit by Adam descent on channel alignment "
-                          "(works on featureless scenes too)")
+                          "(works on featureless scenes too); 'refine': "
+                          "template fit polished by gradient descent")
     dev.add_argument("--warp", action="store_true",
                      help="apply the file's embedded DNG OpcodeList3 "
                           "rectilinear warp to the output")
@@ -237,6 +238,14 @@ def _develop(args) -> int:
                     print(f"{src}: CA fit failed ({e}); --ca skipped",
                           file=sys.stderr)
                 else:
+                    if args.ca == "refine":
+                        from .correct.ca.gradfit import (
+                            refine_ca_models_gradient,
+                        )
+
+                        model_r, model_b = refine_ca_models_gradient(
+                            frame, model_r, model_b
+                        )
                     frame = remove_ca_from_raw(frame, model_r, model_b)
 
         def _apply_warp(out_host, src=src):

@@ -15,10 +15,18 @@ import pytest
 from pysp_tpu.correct.ca.gradfit import (
     fit_ca_models_gradient,
     fit_poly3_gradient,
+    fit_radial_gradient,
     poly3_alignment_loss,
     poly3_correct_channel,
+    radial_alignment_loss,
+    refine_ca_models_gradient,
 )
-from pysp_tpu.correct.ca.models import Poly3CorrectionModel, radius_field
+from pysp_tpu.correct.ca.models import (
+    Poly3CorrectionModel,
+    Poly5CorrectionModel,
+    PtLensCorrectionModel,
+    radius_field,
+)
 from pysp_tpu.ops.resample import remap_bilinear
 
 
@@ -30,11 +38,9 @@ def _smooth_scene(h: int, w: int, seed: int = 0) -> np.ndarray:
     return np.asarray(0.1 + 0.8 * up, np.float32)
 
 
-def _distort(channel: np.ndarray, k1: float) -> jnp.ndarray:
-    """Observed channel: scene sampled at the poly3-distorted positions."""
+def _distort_model(channel: np.ndarray, model) -> jnp.ndarray:
+    """Observed channel: scene sampled at the model-distorted positions."""
     h, w = channel.shape
-    model = Poly3CorrectionModel(initial_k1=max(k1, 0.0))
-    model._k1 = k1
     r = radius_field((h, w))
     scale = model.get_distorted(r) / r
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -43,6 +49,12 @@ def _distort(channel: np.ndarray, k1: float) -> jnp.ndarray:
     map_y = jnp.clip(ys * scale + cy, 0, h - 1)
     map_x = jnp.clip(xs * scale + cx, 0, w - 1)
     return remap_bilinear(jnp.asarray(channel), map_x, map_y)
+
+
+def _distort(channel: np.ndarray, k1: float) -> jnp.ndarray:
+    model = Poly3CorrectionModel(initial_k1=max(k1, 0.0))
+    model._k1 = k1
+    return _distort_model(channel, model)
 
 
 def test_correct_channel_inverts_distortion():
@@ -77,6 +89,71 @@ def test_gradient_fit_recovers_k1(k_true):
     assert loss < float(
         poly3_alignment_loss(jnp.float32(0.0), moving, jnp.asarray(scene))
     )
+
+
+def test_poly5_gradient_fit_recovers_operator():
+    """Multi-coefficient fit: the recovered (h1, h2) must reproduce the true
+    model's radial map (coefficients can trade off; the operator is the
+    observable)."""
+    scene = _smooth_scene(160, 192, seed=4)
+    true = Poly5CorrectionModel(0.012, -0.004)
+    moving = _distort_model(scene, true)
+    theta, loss = fit_radial_gradient(moving, scene, "poly5", steps=160)
+    fit = Poly5CorrectionModel(float(theta[0]), float(theta[1]))
+    rs = np.linspace(0.1, 0.95, 64)
+    map_err = np.abs(
+        np.asarray(fit.get_distorted(rs)) - np.asarray(true.get_distorted(rs))
+    ).max()
+    assert map_err < 2.5e-3  # vs 1.2e-2 peak displacement of the true model
+    assert loss < float(
+        radial_alignment_loss(
+            jnp.zeros(2, jnp.float32), moving, jnp.asarray(scene), "poly5"
+        )
+    )
+
+
+def test_ptlens_gradient_fit_recovers_operator():
+    scene = _smooth_scene(160, 192, seed=5)
+    true = PtLensCorrectionModel(0.0, 0.01, -0.003)
+    moving = _distort_model(scene, true)
+    theta, _ = fit_radial_gradient(moving, scene, "ptlens", steps=160)
+    fit = PtLensCorrectionModel(*(float(v) for v in theta))
+    rs = np.linspace(0.1, 0.95, 64)
+    map_err = np.abs(
+        np.asarray(fit.get_distorted(rs)) - np.asarray(true.get_distorted(rs))
+    ).max()
+    assert map_err < 2.5e-3
+
+
+def test_refine_improves_quantized_template_fit():
+    """refine_ca_models_gradient: seeding with a deliberately-off coefficient
+    (a template fit quantized to its bisection step) converges back toward the
+    truth and keeps the model class."""
+    from pysp_tpu.core.frame import RawFrame
+
+    h, w = 192, 224
+    scene = _smooth_scene(h, w, seed=6)
+    k_true = 0.02
+    r_full = np.asarray(_distort(scene, k_true))
+    bayer = np.empty((h, w), np.float32)
+    bayer[0::2, 0::2] = r_full[0::2, 0::2]
+    bayer[0::2, 1::2] = scene[0::2, 1::2]
+    bayer[1::2, 0::2] = scene[1::2, 0::2]
+    bayer[1::2, 1::2] = scene[1::2, 1::2]
+    frame = RawFrame.synthetic(bayer)
+
+    rough_r = Poly3CorrectionModel()
+    rough_r._k1 = k_true * 1.4  # off by 40%: a coarse template-match result
+    rough_b = Poly3CorrectionModel()
+    fine_r, fine_b = refine_ca_models_gradient(
+        frame, rough_r, rough_b, steps=80, learning_rate=1e-3
+    )
+    assert isinstance(fine_r, Poly3CorrectionModel)
+    assert abs(float(fine_r.get_coefficients()[0]) - k_true) < abs(
+        float(rough_r.get_coefficients()[0]) - k_true
+    )
+    # inputs untouched
+    assert float(rough_r.get_coefficients()[0]) == k_true * 1.4
 
 
 def test_frame_level_fit_recovers_r_channel_model():
