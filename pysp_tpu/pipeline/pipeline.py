@@ -126,8 +126,19 @@ def develop_pipeline(
     def correct(f):
         return _correct_one(f, cfg, flat, dark, shared_masks)
 
+    # static: does the config enable any per-frame correction at all? If not, the
+    # burst lax.map below would scan an identity body — XLA materializes the scan
+    # carry, i.e. a full read+write copy of the burst (~1 ms per 480 MB at 24 MP x5)
+    # for nothing.
+    any_corrections = (
+        cfg.dark_frame
+        or cfg.flat_field
+        or cfg.repair_hot_pixels
+        or cfg.denoise_strength > 0.0
+    )
+
     if is_burst:
-        corrected = jax.lax.map(correct, frames)
+        corrected = jax.lax.map(correct, frames) if any_corrections else frames
         if cfg.fuse_hdr:
             fused, _counts = fuse_exposures_to_raw(corrected, cfg.hdr_target_ev)
             return develop.__wrapped__(fused, cfg.develop)
