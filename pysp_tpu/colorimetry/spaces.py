@@ -55,9 +55,14 @@ class MatXyzToCamera(ChromaticityMat):
         mat: np.ndarray,
         xyz: np.ndarray,
         series: Optional[StandardIlluminantSeries] = None,
+        provenance: Optional[str] = None,
     ):
         super().__init__(mat, xyz)
         self.series = series
+        # data lineage, e.g. "exif" (read from the file), "registry" (built-in
+        # Adobe table), "estimated-stda" (metamerism estimate — see
+        # io/camera_matrices.py), "harvested" (pulled from a sibling DNG).
+        self.provenance = provenance
 
     def interpolate(self, nxt: "MatXyzToCamera", blend: float) -> np.ndarray:
         blend = float(np.clip(blend, 0.0, 1.0))

@@ -20,6 +20,27 @@ well-behaved but colorimetry is approximate — a documented divergence
 (DIVERGENCES.md) rather than a hard failure, since WB still comes from the
 file's as-shot metadata. ``resolve_camera_matrices`` (used by every loader)
 warns once per model on that fallback so the approximation is visible.
+
+Dual-illuminant rows (round 4). The WB controller's flagship algorithms blend
+TWO bracketing calibration matrices (reference wb_cct/cam_wb.py:81-234); with
+only the D65 row every non-DNG body degenerated to the single-matrix path. The
+true StdA (tungsten) ColorMatrix1 digits are *measured metamerism data* — a
+perfectly colorimetric sensor would have ColorMatrix1 == ColorMatrix2, and no
+chromatic-adaptation composition can derive the real delta (a CAT-composed
+"StdA" matrix provably maps the tungsten white to the D65 multipliers — wrong).
+Since this offline environment has no Adobe DCP/libraw data to transcribe from,
+the registry ships an **estimated** StdA row per body instead of fabricated
+"Adobe" digits: ``estimate_std_a_matrix`` left-composes the body's D65 matrix
+with a camera-space metamerism transform ``R = CM1_anchor @ inv(CM2_anchor)``
+taken from the one widely-republished real pair (Canon EOS 5D Mark II; recall-
+transcribed, same caveat as the D65 table). R is near identity (max |R-I| ~0.2)
+and transfers plausibly across Bayer RGB bodies; every generated row passes the
+invariant gates in tests/test_dual_illuminant.py. Rows carry
+``provenance="estimated-stda"`` so downstream code can tell estimate from data,
+and ``harvest_camera_matrices_from_dng`` replaces the estimate with REAL Adobe
+data at first contact: point it at any DNG-converted file from the same body
+and it registers that file's ColorMatrix1/2 for the native-format loaders.
+Set ``ESTIMATE_STD_A = False`` to restore single-matrix lookups.
 """
 from __future__ import annotations
 
@@ -111,6 +132,37 @@ _ADOBE_D65: Dict[str, Tuple[int, ...]] = {
     "K-1": (8566, -2746, -1201, -3612, 12204, 1550, -893, 1680, 6264),
 }
 
+# The one real ColorMatrix1/ColorMatrix2 pair shipped: Canon EOS 5D Mark II
+# (Adobe DNG Converter output, widely republished in exiftool/DCP discussions;
+# recall-transcribed — verify against a real DNG at first contact, like the
+# D65 table above). x10000 row-major XYZ->cam.
+_CM1_ANCHOR = (5309, -229, -336, -6241, 13265, 3337, -817, 1215, 6664)
+_CM2_ANCHOR = (4716, 603, -830, -7798, 15474, 2480, -1496, 1937, 6651)
+
+# Camera-space metamerism transform CM1 ~= R @ CM2, computed once from the
+# anchor pair. Left-composition in camera space transfers across bodies because
+# Bayer RGB channel sensitivities are broadly similar — see module docstring.
+_METAMERISM_R = (
+    np.array(_CM1_ANCHOR, np.float64).reshape(3, 3)
+    @ np.linalg.inv(np.array(_CM2_ANCHOR, np.float64).reshape(3, 3))
+)
+
+# Ship estimated StdA rows alongside the D65 rows so the WB controller's
+# two-matrix blending engages on non-DNG bodies. Opt out for strict
+# single-matrix behavior.
+ESTIMATE_STD_A: bool = True
+
+
+def estimate_std_a_matrix(d65_mat: np.ndarray) -> np.ndarray:
+    """Estimate a body's StdA (ColorMatrix1) from its D65 matrix.
+
+    ``R @ d65_mat`` with the anchor-derived camera-space metamerism transform.
+    An ESTIMATE, not Adobe data — see the module docstring for the analysis and
+    ``harvest_camera_matrices_from_dng`` for the real-data replacement path.
+    """
+    return _METAMERISM_R @ np.asarray(d65_mat, np.float64)
+
+
 _MAKER_PREFIXES = (
     "CANON ", "NIKON ", "SONY ", "PANASONIC ", "OLYMPUS ", "FUJIFILM ",
     "PENTAX ", "RICOH ", "KONICA MINOLTA ", "MINOLTA ", "SAMSUNG ",
@@ -136,15 +188,33 @@ def lookup_camera_matrices(model: Optional[str]) -> Optional[List[MatXyzToCamera
     if model is None:
         return None
     mats = _REGISTRY.get(model.strip())
+    if mats is None:
+        mats = _REGISTRY.get(_norm_model(model))
     if mats is not None:
         return mats
     coeffs = _ADOBE_D65.get(_norm_model(model))
     if coeffs is None:
         return None
     mat = np.array(coeffs, np.float64).reshape(3, 3) / 10000.0
-    return [
-        MatXyzToCamera(mat, xy_to_xyz(_D65_XY), StandardIlluminantSeries.SERIES_DAYLIGHT)
-    ]
+    rows = []
+    if ESTIMATE_STD_A:
+        rows.append(
+            MatXyzToCamera(
+                estimate_std_a_matrix(mat),
+                xy_to_xyz(_STD_A_XY),
+                StandardIlluminantSeries.STANDALONE,
+                provenance="estimated-stda",
+            )
+        )
+    rows.append(
+        MatXyzToCamera(
+            mat,
+            xy_to_xyz(_D65_XY),
+            StandardIlluminantSeries.SERIES_DAYLIGHT,
+            provenance="registry",
+        )
+    )
+    return rows
 
 
 _warned_generic: set = set()
@@ -170,6 +240,46 @@ def resolve_camera_matrices(model: Optional[str]) -> List[MatXyzToCamera]:
             stacklevel=3,
         )
     return generic_matrices()
+
+
+def harvest_camera_matrices_from_dng(
+    source, model: Optional[str] = None, register: bool = True
+) -> Tuple[str, List[MatXyzToCamera]]:
+    """Pull REAL calibration matrices out of a DNG and register them for the body.
+
+    The first-contact upgrade path for the estimated StdA rows: any
+    Adobe-DNG-converted file from a camera carries that body's actual
+    ColorMatrix1/2 (+ CalibrationIlluminant1/2). This reads them
+    (io/metadata.py::exif_get_color_mat_sources) and registers them under the
+    DNG's EXIF Model string (or ``model``), so subsequent native-format loads
+    (CR2/NEF/ARW/...) of the same body get Adobe data instead of the estimate.
+
+    Returns ``(model, mats)``. Raises ValueError if the file carries no color
+    matrices or no model name.
+    """
+    from . import tiff as T
+    from .metadata import exif_get_color_mat_sources
+
+    tf = T.read_tiff(source)
+    mats = exif_get_color_mat_sources(tf)
+    if not mats:
+        raise ValueError("DNG carries no ColorMatrix tags to harvest")
+    for m in mats:
+        m.provenance = "harvested"
+    if model is None:
+        model_tag = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
+        if model_tag is None:
+            raise ValueError(
+                "DNG carries no Model tag; pass model= to name the body"
+            )
+        model = model_tag.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
+    model = model.strip()
+    if register:
+        register_camera_matrices(model, mats)
+        # native loaders normalize the model string before lookup; make the
+        # harvested rows reachable through that path too
+        _REGISTRY.setdefault(_norm_model(model), list(mats))
+    return model, mats
 
 
 def generic_matrices() -> List[MatXyzToCamera]:

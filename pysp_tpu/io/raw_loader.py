@@ -210,13 +210,16 @@ def controller_for_source(source: Source, frame: RawFrame):
     """Rebuild a WB controller for a decoded frame so ``update_by_*`` calls work.
 
     DNGs carry their calibration matrices in EXIF (ColorMatrix1/2/3); MakerNote
-    formats (CR2/NEF/ARW/RW2) embed none, so the controller falls back to the single
-    matrix the loader already resolved (registry per model, or Rec.709) with the
-    frame's as-shot neutral — the same policy as compat.RawBayerDataFromRaw.
+    formats (CR2/NEF/ARW/RW2) embed none, so the controller re-resolves the
+    per-model registry (dual-illuminant rows when available — estimated StdA +
+    D65, or harvested Adobe data) and only then falls back to the single matrix
+    the loader already resolved, with the frame's as-shot neutral — the same
+    policy as compat.RawBayerDataFromRaw.
     """
     import struct as _struct
 
     from . import tiff as T
+    from .camera_matrices import lookup_camera_matrices
     from .metadata import exif_get_as_shot_neutral, exif_get_color_mat_sources
 
     try:
@@ -224,10 +227,18 @@ def controller_for_source(source: Source, frame: RawFrame):
         mats = exif_get_color_mat_sources(tf)
     except (ValueError, _struct.error):
         # non-TIFF containers (RAF) carry no EXIF color matrices at all
+        tf = None
         mats = []
     if mats:
         neutral = exif_get_as_shot_neutral(tf)
-    else:
+    elif tf is not None and tf.ifds:
+        # no EXIF matrices: registry by EXIF model (dual rows when known)
+        model_tag = tf.ifds[0].get(T.TAG_MODEL)
+        if model_tag is not None:
+            model = model_tag.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
+            mats = lookup_camera_matrices(model) or []
+            neutral = np.asarray(frame.wb_neutral, np.float64)
+    if not mats:
         from ..colorimetry.illuminants import StandardIlluminantSeries
         from ..colorimetry.spaces import MatXyzToCamera
 

@@ -57,6 +57,23 @@ class PipelineConfig:
     # EV the fuse normalizes to (None = mean of the burst's EVs)
     hdr_target_ev: Optional[float] = None
 
+    @property
+    def enables_per_frame_corrections(self) -> bool:
+        """True iff ``_correct_one`` would apply at least one correction.
+
+        The single source of truth for "does the config enable any per-frame
+        correction": ``develop_pipeline`` uses it to skip the burst ``lax.map``
+        (an identity scan body still materializes the carry — a full read+write
+        copy of the burst), and any flag added to ``_correct_one`` must be added
+        here or bursts would silently skip it while single frames apply it.
+        """
+        return (
+            self.dark_frame
+            or self.flat_field
+            or self.repair_hot_pixels
+            or self.denoise_strength > 0.0
+        )
+
 
 def _correct_one(
     frame: RawFrame,
@@ -65,6 +82,8 @@ def _correct_one(
     dark: Optional[RawFrame],
     masks: Optional[Array],
 ) -> RawFrame:
+    # Keep PipelineConfig.enables_per_frame_corrections in sync with the flags
+    # consulted here — it gates whether bursts run this function at all.
     from ..correct.bad_pixels import find_erroneous_pixels_median, repair_bad_pixels
     from ..correct.flat_field import dark_frame_subtraction, flat_frame_correction
 
@@ -130,12 +149,7 @@ def develop_pipeline(
     # burst lax.map below would scan an identity body — XLA materializes the scan
     # carry, i.e. a full read+write copy of the burst (~1 ms per 480 MB at 24 MP x5)
     # for nothing.
-    any_corrections = (
-        cfg.dark_frame
-        or cfg.flat_field
-        or cfg.repair_hot_pixels
-        or cfg.denoise_strength > 0.0
-    )
+    any_corrections = cfg.enables_per_frame_corrections
 
     if is_burst:
         corrected = jax.lax.map(correct, frames) if any_corrections else frames

@@ -26,8 +26,11 @@ def _generic_mat():
 )
 def test_known_bodies_load_real_matrices(model):
     mats = lookup_camera_matrices(model)
-    assert mats is not None and len(mats) == 1
-    m = mats[0].mat
+    # round 4: estimated StdA row + Adobe D65 row (dual-illuminant blending)
+    assert mats is not None and len(mats) == 2
+    assert mats[0].provenance == "estimated-stda"
+    assert mats[-1].provenance == "registry"
+    m = mats[-1].mat
     # a real sensor matrix, not the idealized Rec.709 fallback
     assert not np.allclose(m, _generic_mat(), atol=1e-3)
     # sane calibration shape: positive diagonal, rows roughly O(1)

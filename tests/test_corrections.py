@@ -174,6 +174,12 @@ def test_hdr_raw_fuse_matches_reference_numpy():
     bayers = [
         np.clip(_smooth_bayer(seed=10 + i) * (0.5 + 0.3 * i), 0, 1) for i in range(3)
     ]
+    # Force zero-weight pixels in EVERY frame so the brightest-frame fallback
+    # (the in-reduce one-hot select) actually executes: the tent weight
+    # 0.5 - |x - 0.5| is exactly 0 at x==0.0 and x==1.0 only.
+    for b in bayers:
+        b[2:6, 2:6] = 0.0  # black block (dead pixels / hard shadow)
+        b[10:14, 20:24] = 1.0  # saturated block
     frames = [
         RawFrame.synthetic(b, wb_neutral=wb_neutral, ev=e)
         for b, e in zip(bayers, evs)
@@ -207,6 +213,23 @@ def test_hdr_raw_fuse_matches_reference_numpy():
     assert hdr.is_hdr
     assert float(hdr.lim_sat) == max(offsets)
     assert abs(float(hdr.ev) - target) < 1e-6
+
+    # Fallback coverage: the forced blocks have sum_weight == 0 in every frame,
+    # so those pixels must carry the brightest frame's EV-scaled value exactly
+    # and report zero contributions in the debug counts.
+    fallback = sum_weight == 0
+    assert fallback.any(), "test data must exercise the zero-weight fallback"
+    np.testing.assert_array_equal(
+        np.asarray(hdr.bayer)[fallback], max_exp[fallback]
+    )
+    counts_np = np.asarray(counts)
+    assert (counts_np[fallback] == 0).all()
+    # and non-fallback pixels count every contributing frame
+    want_counts = sum(
+        ((0.5 - np.abs(b - 0.5)) * (1.6 ** (-0.1 * np.abs(off * noise_w))) > 0)
+        for b, off in zip(bayers, offsets)
+    )
+    np.testing.assert_array_equal(counts_np, want_counts)
 
 
 def test_hdr_then_develop():
