@@ -68,6 +68,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     info = sub.add_parser("info", help="print raw metadata")
     info.add_argument("input")
+
+    vd = sub.add_parser(
+        "verify-decode",
+        help="cross-decode file(s) with the built-in codec AND rawpy/libraw "
+             "and report bit/PSNR parity + metadata diffs (first-contact "
+             "codec validation; exits 1 on any mismatch)",
+    )
+    vd.add_argument("inputs", nargs="+", help="raw file path(s)")
     return p
 
 
@@ -441,12 +449,27 @@ def _info(args) -> int:
     return 0
 
 
+def _verify_decode(args) -> int:
+    from .io.verify_decode import verify_decode
+
+    any_mismatch = False
+    reports = []
+    for path in args.inputs:
+        report = verify_decode(path, name=path)
+        reports.append(report)
+        any_mismatch |= report["verdict"] == "mismatch"
+    print(json.dumps(reports if len(reports) > 1 else reports[0], indent=2))
+    return 1 if any_mismatch else 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.command == "develop":
         return _develop(args)
     if args.command == "info":
         return _info(args)
+    if args.command == "verify-decode":
+        return _verify_decode(args)
     return 2
 
 

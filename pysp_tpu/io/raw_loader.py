@@ -334,12 +334,27 @@ def load_raw(source: Source) -> RawFrame:
         return load_raw_nef(source)
 
     try:
-        import rawpy  # type: ignore
+        import rawpy  # type: ignore  # noqa: F401
     except ImportError as e:
         raise ValueError(
             "Raw couldn't be read by the built-in DNG/CR2/NEF/ARW/RW2/ORF/RAF/PEF/"
             "MRW/SRW decoders and rawpy is not installed for other formats."
         ) from e
+
+    return load_raw_rawpy(source)
+
+
+def load_raw_rawpy(source: Source, strict: bool = True) -> RawFrame:
+    """Decode via rawpy/libraw only — the reference's own decode route
+    (image.py:224-307), bypassing every built-in codec.
+
+    ``strict=True`` (the load_raw fall-through contract) requires EXIF color
+    matrices + EV from the TIFF container. ``strict=False`` (the verify-decode
+    cross-check path) degrades gracefully for containers libraw reads but the
+    TIFF metadata layer cannot: color matrices fall back to the per-model
+    registry / Rec.709, the neutral to libraw's camera_whitebalance, EV to 0.
+    """
+    import rawpy  # type: ignore
 
     from io import BytesIO
 
@@ -353,15 +368,53 @@ def load_raw(source: Source) -> RawFrame:
         desc = raw.color_desc.decode("ascii")
         pattern_str = "".join(desc[i] for i in raw.raw_pattern.flatten())
         pattern = _PATTERN_FROM_STRING[pattern_str.upper()]
+        cam_mult = getattr(raw, "camera_whitebalance", None)
 
-    tf_area = get_image_area_from_tiff(source)
-    sensor = _apply_area_and_crop(sensor, tf_area[0], tf_area[1])
+    if strict:
+        tf_area = get_image_area_from_tiff(source)
+        sensor = _apply_area_and_crop(sensor, tf_area[0], tf_area[1])
+        tf = T.read_tiff(source)
+        mats = exif_get_color_mat_sources(tf)
+        neutral = exif_get_as_shot_neutral(tf)
+        cam_wb = CameraWhiteBalanceController(mats, neutral)
+        ev = compute_ev_from_tiff(source)
+        return frame_from_parts(sensor, pattern, cam_wb, ev)
 
-    tf = T.read_tiff(source)
-    mats = exif_get_color_mat_sources(tf)
-    neutral = exif_get_as_shot_neutral(tf)
+    import struct as _struct
+
+    try:
+        tf_area = get_image_area_from_tiff(source)
+        sensor = _apply_area_and_crop(sensor, tf_area[0], tf_area[1])
+    except (ValueError, _struct.error):
+        pass
+    mats, neutral, model = [], None, None
+    try:
+        tf = T.read_tiff(source)
+        mats = exif_get_color_mat_sources(tf)
+        if mats:
+            neutral = exif_get_as_shot_neutral(tf)
+        model_tag = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
+        if model_tag is not None:
+            model = model_tag.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
+    except (ValueError, _struct.error):
+        pass
+    if not mats:
+        from .camera_matrices import resolve_camera_matrices
+
+        mats = resolve_camera_matrices(model)
+    if neutral is None:
+        if cam_mult is not None and np.all(np.asarray(cam_mult[:3], float) > 0):
+            m = np.asarray(cam_mult[:3], np.float64)
+            neutral = m[1] / m  # gains -> camera response to neutral, G=1
+        else:
+            neutral = np.array([0.5, 1.0, 0.5], np.float64)
     cam_wb = CameraWhiteBalanceController(mats, neutral)
-    ev = compute_ev_from_tiff(source)
+    try:
+        ev = compute_ev_from_tiff(source)
+    except (ValueError, _struct.error):
+        ev = float("nan")
+    if not np.isfinite(ev):
+        ev = 0.0
     return frame_from_parts(sensor, pattern, cam_wb, ev)
 
 
