@@ -38,6 +38,16 @@ BASELINES_MPS = {
 MP = 24.0
 H, W = 4000, 6000
 
+# Probed structural floors for the shipped Best path at 24 MP (BASELINE.md round-3
+# stage/assembly probes): the megakernel itself runs ~488 ps/px and the
+# planar->HWC assembly + border stitch cost ~3.9 ms is structural (Mosaic cannot
+# lane-interleave in VMEM; phase-space stitching measured slower). The headline
+# JSON reports efficiency_vs_kernel_floor = floor_ms / measured_ms so the scored
+# number tracks distance to the path's own measured ceiling, not just raw MP/s.
+KERNEL_FLOOR_PS_PX = 488.0
+ASSEMBLY_TAX_MS = 3.9
+BEST_FLOOR_MS = MP * 1e6 * KERNEL_FLOOR_PS_PX * 1e-12 * 1e3 + ASSEMBLY_TAX_MS
+
 
 def main(full: bool = False) -> None:
     import os
@@ -107,6 +117,9 @@ def main(full: bool = False) -> None:
                             round(MP / dts[-1], 2),
                             round(MP / dts[0], 2),
                         ],
+                        "efficiency_vs_kernel_floor": round(
+                            BEST_FLOOR_MS / (dt * 1e3), 3
+                        ),
                     }
                 ),
                 flush=True,
@@ -211,5 +224,126 @@ def main(full: bool = False) -> None:
         file=sys.stderr,
     )
 
+def measure_e2e() -> None:
+    """End-to-end latency: file BYTES -> host decode -> device develop -> PNG.
+
+    The scored metric is "p50 DNG->sRGB develop latency" (BASELINE.json) and the
+    device-only numbers above deliberately exclude the host side; this measures
+    the whole thing (VERDICT r3 item 3). Host decode runs 30-146 MP/s on this
+    box (BASELINE.md decode ledger), so the honest p50 is decode/save-dominated —
+    which is exactly what pipeline/stream.py's overlap exists to hide; the
+    streamed files/sec shows how much of it the overlap recovers. Results go to
+    stderr (one `e2e-json` line machine-readable); the stdout contract stays ONE
+    headline JSON line.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    from pysp_tpu import DevelopConfig, QualityDemosaic
+    from pysp_tpu.io.cr2 import write_synthetic_cr2
+    from pysp_tpu.io.image_out import save_image
+    from pysp_tpu.io.raw_loader import load_raw
+    from pysp_tpu.io.tiff import write_synthetic_dng
+    from pysp_tpu.pipeline.develop import develop
+    from pysp_tpu.pipeline.stream import develop_stream
+
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:H, 0:W]
+    scene = (
+        0.25
+        + 0.3 * np.sin(xx / 97.0) * np.cos(yy / 131.0)
+        + 0.2 * ((xx // 256 + yy // 256) % 2)
+        + 0.08 * rng.random((H, W))
+    )
+    u16 = np.clip(scene * 3600 + 260, 0, 4095).astype(np.uint16)
+
+    print("[bench] e2e: encoding 24 MP fixtures ...", file=sys.stderr)
+    files = {
+        "dng_lj92": write_synthetic_dng(u16, compression=7),
+        "cr2": write_synthetic_cr2(u16),
+    }
+    cfg = DevelopConfig(quality=QualityDemosaic.Best, postprocess_stages=1)
+    out: dict = {}
+    tmpdir = tempfile.mkdtemp(prefix="pysp_e2e_")
+
+    for name, blob in files.items():
+        # warm the XLA program cache once so p50 measures steady-state serving
+        dev = develop(jax.device_put(load_raw(blob)), cfg)
+        np.asarray(dev)
+
+        lat, t_dec, t_dev, t_save = [], [], [], []
+        iters = 5 if name == "dng_lj92" else 3
+        for i in range(iters):
+            dst = os.path.join(tmpdir, f"{name}_{i}.png")
+            t0 = _time.perf_counter()
+            frame = load_raw(blob)
+            t1 = _time.perf_counter()
+            img = np.asarray(develop(jax.device_put(frame), cfg))
+            t2 = _time.perf_counter()
+            save_image(dst, img)
+            t3 = _time.perf_counter()
+            lat.append(t3 - t0)
+            t_dec.append(t1 - t0)
+            t_dev.append(t2 - t1)
+            t_save.append(t3 - t2)
+        lat.sort()
+        p50 = lat[len(lat) // 2]
+        p90 = lat[min(len(lat) - 1, int(round(0.9 * (len(lat) - 1))))]
+        out[name] = {
+            "p50_s": round(p50, 3),
+            "p90_s": round(p90, 3),
+            "decode_s": round(float(np.median(t_dec)), 3),
+            "develop_s": round(float(np.median(t_dev)), 3),
+            "save_png_s": round(float(np.median(t_save)), 3),
+        }
+        print(
+            f"[bench] e2e {name} 24 MP single-file: p50 {p50:.2f}s p90 {p90:.2f}s "
+            f"(decode {out[name]['decode_s']}s + develop {out[name]['develop_s']}s "
+            f"+ PNG {out[name]['save_png_s']}s)",
+            file=sys.stderr,
+        )
+
+    # streamed path: decode workers + async dispatch overlap the host side
+    n_stream = 8
+    sources = [files["dng_lj92"]] * n_stream
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as savers:
+        futs = []
+        for i, (_, img) in enumerate(develop_stream(sources, cfg, decode_workers=4)):
+            futs.append(
+                savers.submit(
+                    save_image, os.path.join(tmpdir, f"s{i}.png"), img
+                )
+            )
+        for f in futs:
+            f.result()
+    dt_stream = _time.perf_counter() - t0
+    out["stream"] = {
+        "files": n_stream,
+        "files_per_s": round(n_stream / dt_stream, 3),
+        "s_per_file": round(dt_stream / n_stream, 3),
+    }
+    print(
+        f"[bench] e2e streamed x{n_stream} (decode||develop||save): "
+        f"{dt_stream:.1f}s total = {n_stream/dt_stream:.2f} files/s "
+        f"({dt_stream/n_stream:.2f} s/file vs p50 {out['dng_lj92']['p50_s']}s "
+        "sequential)",
+        file=sys.stderr,
+    )
+    print(f"[bench] e2e-json {json.dumps(out)}", file=sys.stderr)
+
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main(full="--full" in sys.argv[1:])
+    if "--e2e" in sys.argv[1:]:
+        measure_e2e()

@@ -121,6 +121,50 @@ def main(h=512, w=768, halo=16):
         )
         assert flip_frac < 1e-3 and psnr > 50, (flip_frac, psnr)
 
+    print("[scaling] config-5 pipeline (CA + Best + warp) batch-sharded (8 frames):")
+    from pysp_tpu.correct.ca.models import Poly3CorrectionModel
+    from pysp_tpu.correct.ca.removal import remove_ca_from_raw
+    from pysp_tpu.parallel.pipeline_sharded import develop_pipeline_sharded
+    from pysp_tpu.pipeline.pipeline import PipelineConfig
+    from pysp_tpu.warp.opcodes import apply_opcode_3_warp, encode_warp_rectilinear
+
+    ph, pw = 256, 384  # config-5-shaped: many small frames
+    pframes = jax.tree_util.tree_map(
+        lambda *xs: jax.numpy.stack(xs),
+        *[RawFrame.synthetic(_scene_mosaic(ph, pw, seed=10 + i)) for i in range(8)],
+    )
+    model = Poly3CorrectionModel(0.01)
+    block = encode_warp_rectilinear(
+        [(1.004, -0.008, 0.0015, 0.0, 0.0002, -0.0001)] * 3, (0.5, 0.5)
+    )
+    pcfg = PipelineConfig(develop=cfg)
+    one = jax.tree_util.tree_map(lambda leaf: leaf[0], pframes)
+    ref0 = np.asarray(
+        apply_opcode_3_warp(
+            develop(remove_ca_from_raw(one, model, model), cfg),
+            block,
+            interpolation="bilinear",
+        )
+    )
+    for n_b in (2, 4, 8):
+        mesh = make_mesh((n_b, 1), devices=jax.devices()[:n_b])
+        t0 = time.perf_counter()
+        out = develop_pipeline_sharded(
+            pframes, mesh, pcfg, ca_model_r=model, ca_model_b=model,
+            warp_block=block, warp_interpolation="bilinear",
+        )
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        d = np.abs(np.asarray(out[0]) - ref0)
+        flip_frac = float((d > 3e-5).mean())
+        psnr = 10 * np.log10(1.0 / max(float((d**2).mean()), 1e-12))
+        print(
+            f"[scaling]   batch={n_b}: frame-0 maxerr {d.max():.2e}, "
+            f"flip fraction {flip_frac:.2e}, PSNR {psnr:.1f} dB, "
+            f"{dt*1e3:6.0f} ms first-step shared-core"
+        )
+        assert flip_frac < 1e-3 and psnr > 50, (flip_frac, psnr)
+
     print("[scaling] OK: numerics hold at every mesh size")
 
 
