@@ -96,55 +96,89 @@ def compute_offset_remapping_table(
     )
 
 
+def _floor_disp_minmax(
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float,
+    row_range: Tuple[int, int],
+    col_range: Tuple[int, int],
+):
+    """EXACT floor-displacement extrema of the map over an output rectangle.
+
+    Sweeps EVERY pixel of the rectangle in f64 (blockwise, ~256 rows at a
+    time, so 24 MP frames never materialize a full-frame f64 field) and
+    reduces min/max of ``floor(map) - index`` per axis. Unlike the old coarse
+    256x256 sweep (margin 3 to cover grid gaps), this needs only margin 1 —
+    the f32 device map can floor at most one integer away from the f64 value —
+    which halves the select-chain spans at real lens-warp magnitudes
+    (BASELINE.md round-4 warp-bounds ledger).
+    """
+    import numpy as np
+
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    k = np.asarray(coeffs, np.float64)
+    r0, r1 = row_range
+    c0, c1 = col_range
+    xs = np.arange(c0, c1, dtype=np.float64)[None, :]
+    dy_lo = dy_hi = dx_lo = dx_hi = None
+    for b0 in range(r0, r1, 256):
+        b1 = min(b0 + 256, r1)
+        sy = np.arange(b0, b1, dtype=np.float64)[:, None]
+        dx = (xs - cx) / m
+        dy = (sy - cy) / m
+        r2 = dx * dx + dy * dy
+        f = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
+        dxt = k[4] * (2 * dx * dy) + k[5] * (r2 + 2 * dx * dx)
+        dyt = k[5] * (2 * dx * dy) + k[4] * (r2 + 2 * dy * dy)
+        xp = cx + m * (f * dx + dxt)
+        yp = cy + m * (f * dy + dyt)
+        out_x = np.clip(xs + (xp - xs) * scale, 0, width - 1)
+        out_y = np.clip(sy + (yp - sy) * scale, 0, height - 1)
+        fdy = np.floor(out_y) - sy
+        fdx = np.floor(out_x) - xs
+        dy_lo = fdy.min() if dy_lo is None else min(dy_lo, fdy.min())
+        dy_hi = fdy.max() if dy_hi is None else max(dy_hi, fdy.max())
+        dx_lo = fdx.min() if dx_lo is None else min(dx_lo, fdx.min())
+        dx_hi = fdx.max() if dx_hi is None else max(dx_hi, fdx.max())
+    return (int(dy_lo), int(dy_hi)), (int(dx_lo), int(dx_hi))
+
+
 def displacement_bounds(
     coeffs,
     width: int,
     height: int,
     cam_center_norm: Tuple[float, float],
     scale: float = 1.0,
-    margin: int = 3,
+    margin: int = 1,
     cap: int = 17,
     row_range: Optional[Tuple[int, int]] = None,
+    col_range: Optional[Tuple[int, int]] = None,
 ):
     """Static floor-index displacement bounds of the rectilinear map.
 
-    Evaluated host-side (NumPy f64 on a dense-enough grid — the map is smooth,
-    so a ~256x256 sweep plus ``margin`` covers grid gaps and f32 rounding).
-    Returns ((dy_lo, dy_hi), (dx_lo, dx_hi)) for the bounded remaps, or None
-    when either range exceeds ``cap`` (select-chain cost grows with the range;
-    huge warps fall back to the gather path). ``row_range`` restricts the sweep
-    to output rows [r0, r1) — per-zone bounds for the zoned banded remap
-    (radial warps concentrate |dy| at the top/bottom rows).
+    Evaluated host-side at trace time over EVERY output pixel of the requested
+    rectangle (``_floor_disp_minmax``), so ``margin`` only needs to absorb the
+    f32-vs-f64 floor crossing (1 px). Returns ((dy_lo, dy_hi), (dx_lo, dx_hi))
+    for the bounded remaps, or None when either range exceeds ``cap``
+    (select-chain cost grows with the range; huge warps fall back to the
+    gather path). ``row_range`` / ``col_range`` restrict the sweep to an
+    output rectangle — per-zone bounds for the zoned banded remaps (radial
+    warps concentrate |dy| at the top/bottom rows and |dx| at the left/right
+    columns).
     """
-    import numpy as np
-
-    cx, cy, m = _geometry(width, height, cam_center_norm)
-    k = np.asarray(coeffs, np.float64)
-    r0, r1 = (0, height) if row_range is None else row_range
-    ys = np.unique(
-        np.r_[np.arange(r0, r1, max(1, (r1 - r0) // 256)), r1 - 1]
+    (fy_lo, fy_hi), (fx_lo, fx_hi) = _floor_disp_minmax(
+        coeffs,
+        width,
+        height,
+        cam_center_norm,
+        scale,
+        (0, height) if row_range is None else row_range,
+        (0, width) if col_range is None else col_range,
     )
-    xs = np.unique(np.r_[np.arange(0, width, max(1, width // 256)), width - 1])
-    sy, sx = np.meshgrid(ys.astype(np.float64), xs.astype(np.float64), indexing="ij")
-
-    dx = (sx - cx) / m
-    dy = (sy - cy) / m
-    r2 = dx * dx + dy * dy
-    f = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
-    dxt = k[4] * (2 * dx * dy) + k[5] * (r2 + 2 * dx * dx)
-    dyt = k[5] * (2 * dx * dy) + k[4] * (r2 + 2 * dy * dy)
-    xp = cx + m * (f * dx + dxt)
-    yp = cy + m * (f * dy + dyt)
-    out_x = np.clip(sx + (xp - sx) * scale, 0, width - 1)
-    out_y = np.clip(sy + (yp - sy) * scale, 0, height - 1)
-
-    def rng(disp):
-        return (
-            int(np.floor(disp.min())) - margin,
-            int(np.floor(disp.max())) + margin,
-        )
-
-    dyb, dxb = rng(out_y - sy), rng(out_x - sx)
+    dyb = (fy_lo - margin, fy_hi + margin)
+    dxb = (fx_lo - margin, fx_hi + margin)
     if max(dyb[1] - dyb[0], dxb[1] - dxb[0]) > 2 * cap:
         return None
     return dyb, dxb
@@ -159,6 +193,7 @@ def warp_sep_pos_error(
     dx_bounds,
     reach: int,
     row_range: Optional[Tuple[int, int]] = None,
+    col_range: Optional[Tuple[int, int]] = None,
 ) -> float:
     """Position-error bound (px) of the SEPARABLE two-pass remap for this warp.
 
@@ -180,7 +215,8 @@ def warp_sep_pos_error(
 
     cx, cy, m = _geometry(width, height, cam_center_norm)
     r0, r1 = (0, height) if row_range is None else row_range
-    xs = np.unique(np.r_[np.arange(0, width, max(1, width // 256)), width - 1])
+    c0, c1 = (0, width) if col_range is None else col_range
+    xs = np.unique(np.r_[np.arange(c0, c1, max(1, (c1 - c0) // 256)), c1 - 1])
     ys = np.unique(np.r_[np.arange(r0, r1, max(1, (r1 - r0) // 256)), r1 - 1])
     sy, sx = np.meshgrid(ys.astype(np.float64), xs.astype(np.float64), indexing="ij")
     lx = 0.0
@@ -199,6 +235,11 @@ def warp_sep_pos_error(
     # 1.25: margin for the finite-difference grid (interval averages can sit
     # slightly under the pointwise max of the smooth polynomial derivative)
     return 1.25 * lx * tap_dist
+
+
+# (n_rows, n_cols) for the grid-zoned warp remap; None disables (row zones
+# only). Set from benchmarks/warp_zone_probe.py measurements.
+_GRID_ZONES: Optional[Tuple[int, int]] = (4, 4)
 
 
 def warp_image_rectilinear(
@@ -261,6 +302,28 @@ def warp_image_rectilinear(
             kind = interpolation + "_sep"
 
     out = None
+    # column x row rectangle zones: every rectangle pays only its LOCAL
+    # displacement spans (round-4 exact bounds). 4x4 measured fastest for the
+    # scored warp shapes (benchmarks/warp_zone_probe.py); launch overhead
+    # (~16 launches) is covered by the span savings at >= 1 MP plane sizes.
+    if _GRID_ZONES is not None and w >= 512 and h >= 64:
+        grid = warp_grid_zones(
+            coeffs, w, h, cam_center_norm, scale,
+            n_rows=_GRID_ZONES[0], n_cols=_GRID_ZONES[1],
+            interpolation=interpolation
+            if interpolation in ("bilinear", "lanczos4")
+            else None,
+        )
+        if grid is not None:
+            col_zones, _ = grid
+            from ..ops.pallas_kernels import remap_bounded_pallas_grid
+
+            out = remap_bounded_pallas_grid(
+                jnp.moveaxis(image, -1, 0), mx, my, col_zones, interpolation
+            )
+            if out is not None:
+                return jnp.moveaxis(out, 0, -1)
+
     zones = warp_row_zones(coeffs, w, h, cam_center_norm, scale)
     if zones is not None:
         # per-zone kinds: central zones have |d map_y/dx| ~ |y - cy| near zero,
@@ -334,6 +397,71 @@ def warp_row_zones(
         dxb = (min(b[1][0] for b in bs), max(b[1][1] for b in bs))
         zones.append((r0, r1, dyb, dxb))
     return zones
+
+
+def warp_grid_zones(
+    coeffs_list,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float = 1.0,
+    n_rows: int = 4,
+    n_cols: int = 4,
+    interpolation: Optional[str] = None,
+):
+    """Column x row rectangle zones for ``remap_bounded_pallas_grid``.
+
+    Every rectangle gets its own EXACT (+1 px f32 margin) displacement bounds
+    — radial warps put |dy| at the top/bottom rows and |dx| at the left/right
+    columns, so the rectangles' select spans shrink to the local displacement.
+    When ``interpolation`` is given, per-rectangle sep kinds are gated against
+    HALF the usual position-error budget (the strip-halo phase approximation
+    doubles the worst case — see remap_bounded_pallas_grid). Returns
+    (col_zones, any_sep) or None when any rectangle's bounds are unavailable.
+    """
+    from ..ops.pallas_kernels import col_zone_edges, row_zone_edges
+    from ..ops.resample import SEP_POS_ERR_BUDGET
+
+    r_edges = row_zone_edges(height, n_rows)
+    c_edges = col_zone_edges(width, n_cols)
+    if r_edges is None or c_edges is None:
+        return None
+    unique = list(
+        dict.fromkeys(tuple(tuple(float(v) for v in co) for co in coeffs_list))
+    )
+    col_zones = []
+    any_sep = False
+    for c0, c1 in zip(c_edges, c_edges[1:]):
+        zones = []
+        kinds = []
+        for r0, r1 in zip(r_edges, r_edges[1:]):
+            bs = [
+                displacement_bounds(
+                    co, width, height, cam_center_norm, scale,
+                    row_range=(r0, r1), col_range=(c0, c1),
+                )
+                for co in unique
+            ]
+            if any(b is None for b in bs):
+                return None
+            dyb = (min(b[0][0] for b in bs), max(b[0][1] for b in bs))
+            dxb = (min(b[1][0] for b in bs), max(b[1][1] for b in bs))
+            zones.append((r0, r1, dyb, dxb))
+            if interpolation in ("bilinear", "lanczos4"):
+                reach = 4 if interpolation == "lanczos4" else 1
+                err = warp_sep_pos_error(
+                    unique, width, height, cam_center_norm, scale, dxb,
+                    reach, row_range=(r0, r1), col_range=(c0, c1),
+                )
+                if 2.0 * err <= SEP_POS_ERR_BUDGET:
+                    kinds.append(interpolation + "_sep")
+                    any_sep = True
+                else:
+                    kinds.append(interpolation)
+        col_zones.append(
+            (c0, c1, zones, kinds if interpolation else None)
+        )
+    return col_zones, any_sep
 
 
 def warp_channel_rectilinear(

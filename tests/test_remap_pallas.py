@@ -385,3 +385,128 @@ def test_remap_zoned_mixed_kinds():
         img, mx, my, zones, "bilinear", kinds=["lanczos4", "bilinear", "bilinear"],
         interpret=True,
     ) is None
+
+
+# --- column x row grid zones (round 4) ------------------------------------------------
+@pytest.mark.parametrize("kind", ["bilinear", "lanczos4"])
+def test_remap_pallas_grid_bit_identical_exact_kinds(kind):
+    """Grid (column x row) zoned launches == the unzoned kernel BIT-exactly
+    for the exact kinds: both the row and the column re-base are integer
+    subtractions, exact in f32 at map magnitudes."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_grid
+
+    rng = np.random.default_rng(11)
+    h, w = 64, 384
+    img = jnp.asarray(rng.random((h, w), np.float32))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.05, seed=12)
+
+    want = remap_bounded_pallas(img, mx, my, dyb, dxb, kind, interpret=True)
+    assert want is not None
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    myn, mxn = np.asarray(my, np.float64), np.asarray(mx, np.float64)
+    col_zones = []
+    for c0, c1 in ((0, 128), (128, 256), (256, w)):
+        zones = []
+        for r0, r1 in ((0, 24), (24, h)):
+            dyz = (np.floor(myn) - yy)[r0:r1, c0:c1]
+            dxz = (np.floor(mxn) - xx)[r0:r1, c0:c1]
+            zones.append(
+                (r0, r1,
+                 (int(dyz.min()) - 1, int(dyz.max()) + 1),
+                 (int(dxz.min()) - 1, int(dxz.max()) + 1))
+            )
+        col_zones.append((c0, c1, zones, None))
+    got = remap_bounded_pallas_grid(img, mx, my, col_zones, kind, interpret=True)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_remap_pallas_grid_sep_within_budget():
+    """Grid + sep kinds: the strip-halo phase approximation stays within 2x
+    the single-pass position-error class — gate vs the EXACT unzoned kernel
+    on smooth content at warp-like magnitudes."""
+    from pysp_tpu.ops.pallas_kernels import remap_bounded_pallas_grid
+
+    h, w = 64, 384
+    img = jnp.asarray(_smooth_image(h, w, seed=13))
+    mx, my, dyb, dxb = _radial_jitter_maps(h, w, k1=0.03, seed=14, jitter=0.0)
+
+    want = remap_bounded_pallas(img, mx, my, dyb, dxb, "bilinear", interpret=True)
+    sep_un = remap_bounded_pallas(
+        img, mx, my, dyb, dxb, "bilinear_sep", interpret=True
+    )
+    assert want is not None and sep_un is not None
+    err_sep = float(
+        np.abs(np.asarray(sep_un, np.float64) - np.asarray(want, np.float64)).max()
+    )
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    myn, mxn = np.asarray(my, np.float64), np.asarray(mx, np.float64)
+    col_zones = []
+    for c0, c1 in ((0, 128), (128, 256), (256, w)):
+        zones = []
+        for r0, r1 in ((0, 32), (32, h)):
+            dyz = (np.floor(myn) - yy)[r0:r1, c0:c1]
+            dxz = (np.floor(mxn) - xx)[r0:r1, c0:c1]
+            zones.append(
+                (r0, r1,
+                 (int(dyz.min()) - 1, int(dyz.max()) + 1),
+                 (int(dxz.min()) - 1, int(dxz.max()) + 1))
+            )
+        col_zones.append((c0, c1, zones, ["bilinear_sep"] * len(zones)))
+    got = remap_bounded_pallas_grid(
+        img, mx, my, col_zones, "bilinear", interpret=True
+    )
+    assert got is not None
+    d = np.abs(np.asarray(got, np.float64) - np.asarray(want, np.float64))
+    # the strip-halo phase approximation stays in the same error class as the
+    # single-pass sep kind: <= ~2x its max error (+ room for f32 noise)
+    assert d.max() <= 2.5 * err_sep + 1e-4, (d.max(), err_sep)
+    # and vs the UNZONED sep kernel the grid is bit-identical outside the
+    # strip-boundary halo reach (the re-bases are exact; only halo-column
+    # phases differ, and taps reach at most span+reach columns across an edge)
+    d_sep = np.abs(np.asarray(got, np.float64) - np.asarray(sep_un, np.float64))
+    reach = max(abs(dxb[0]), abs(dxb[1])) + 2
+    interior = np.ones(w, bool)
+    for edge in (128, 256):
+        interior[max(0, edge - reach):edge + reach] = False
+    assert d_sep[:, interior].max() == 0.0, d_sep[:, interior].max()
+
+
+def test_displacement_bounds_exact_containment():
+    """Round-4 exact bounds: every f32 device floor displacement sits inside
+    the host f64 full-sweep bounds with margin 1, globally and per rectangle."""
+    from pysp_tpu.warp.rectilinear import (
+        compute_remapping_table,
+        displacement_bounds,
+        warp_grid_zones,
+    )
+
+    coeffs = (1.01, -0.013, 0.0025, 0.0, 0.0004, -0.0003)
+    h, w = 256, 512
+    center = (0.45, 0.55)
+    mx, my = compute_remapping_table(coeffs, w, h, center)
+    mxn = np.asarray(jnp.clip(mx, 0, w - 1), np.float64)
+    myn = np.asarray(jnp.clip(my, 0, h - 1), np.float64)
+    fdy = np.floor(myn) - np.arange(h)[:, None]
+    fdx = np.floor(mxn) - np.arange(w)[None, :]
+
+    dyb, dxb = displacement_bounds(coeffs, w, h, center)
+    assert dyb[0] <= fdy.min() and fdy.max() <= dyb[1]
+    assert dxb[0] <= fdx.min() and fdx.max() <= dxb[1]
+    # exactness: the bound is within margin+1 of the true extrema
+    assert fdy.min() - dyb[0] <= 1 and dyb[1] - fdy.max() <= 1
+    assert fdx.min() - dxb[0] <= 1 and dxb[1] - fdx.max() <= 1
+
+    grid = warp_grid_zones([coeffs] * 3, w, h, center, interpolation="bilinear")
+    assert grid is not None
+    col_zones, _ = grid
+    assert col_zones[0][0] == 0 and col_zones[-1][1] == w
+    for c0, c1, zones, kinds in col_zones:
+        assert len(kinds) == len(zones)
+        for r0, r1, zdyb, zdxb in zones:
+            zy = fdy[r0:r1, c0:c1]
+            zx = fdx[r0:r1, c0:c1]
+            assert zdyb[0] <= zy.min() and zy.max() <= zdyb[1], (r0, c0)
+            assert zdxb[0] <= zx.min() and zx.max() <= zdxb[1], (r0, c0)
