@@ -214,12 +214,17 @@ def _model_sep_pos_error(
     yg, xg = np.meshgrid(ys, xs, indexing="ij")
     r = np.clip(np.hypot(yg, xg) / r_corner, 1e-4, 1.0)
     lx = 0.0
-    step = np.diff(xg, axis=1)
     for sm1 in scales:
-        dy = yg * np.interp(r, rs64, sm1)
-        lx = max(lx, float((np.abs(np.diff(dy, axis=1)) / step).max()))
+        # ANALYTIC d(dy)/dx for the radial map dy = y*m(r), r = |p|/R:
+        # d(dy)/dx = y * m'(r) * x / (R^2 * r), with m' from the dense radial
+        # curve. Replaces the round-3 finite differences over ~6 px mesh steps
+        # whose 1.25 peak-underestimate fudge kept the config-5 CA's central
+        # zones 6% over the sep budget (BASELINE.md round-4 ledger).
+        dm = np.gradient(sm1, rs64)
+        deriv = yg * np.interp(r, rs64, dm) * xg / (r_corner**2 * r)
+        lx = max(lx, float(np.abs(deriv).max()))
     tap_dist = max(abs(int(dx_bounds[0])), abs(int(dx_bounds[1]))) + reach
-    return 1.25 * lx * tap_dist  # 1.25: finite-difference grid margin
+    return 1.05 * lx * tap_dist  # 1.05: mesh-sampling margin on a smooth field
 
 
 def remove_ca_from_raw(

@@ -225,20 +225,27 @@ def warp_sep_pos_error(
         dx = (sx - cx) / m
         dy = (sy - cy) / m
         r2 = dx * dx + dy * dy
-        f = k[0] + r2 * (k[1] + r2 * (k[2] + r2 * k[3]))
-        dyt = k[5] * (2 * dx * dy) + k[4] * (r2 + 2 * dy * dy)
-        yp = cy + m * (f * dy + dyt)
-        out_y = np.clip(sy + (yp - sy) * scale, 0, height - 1)
-        step = np.diff(sx, axis=1)
-        lx = max(lx, float((np.abs(np.diff(out_y, axis=1)) / step).max()))
+        # ANALYTIC d(out_y)/d(sx) of the rectilinear polynomial (replaces the
+        # round-3 finite differences + 1.25 peak-underestimate fudge):
+        # out_y = sy + scale*(yp - sy), yp = cy + m*(f*dy + dyt), and with
+        # d/d(sx) = (1/m) d/d(dx):
+        #   d(f*dy)/d(dx) = dy * (2 k1 + 4 k2 r^2 + 6 k3 r^4) * dx
+        #   d(dyt)/d(dx)  = 2 kt1 dy + 2 kt0 dx
+        fprime = (2 * k[1] + 4 * k[2] * r2 + 6 * k[3] * r2 * r2) * dx
+        deriv = scale * (dy * fprime + 2 * k[5] * dy + 2 * k[4] * dx)
+        lx = max(lx, float(np.abs(deriv).max()))
     tap_dist = max(abs(int(dx_bounds[0])), abs(int(dx_bounds[1]))) + reach
-    # 1.25: margin for the finite-difference grid (interval averages can sit
-    # slightly under the pointwise max of the smooth polynomial derivative)
-    return 1.25 * lx * tap_dist
+    return 1.05 * lx * tap_dist  # 1.05: mesh-sampling margin on a smooth field
 
 
-# (n_rows, n_cols) for the grid-zoned warp remap; None disables (row zones
-# only). Set from benchmarks/warp_zone_probe.py measurements.
+# (n_rows, n_cols) for the grid-zoned warp remap — engaged for BILINEAR only.
+# benchmarks/warp_zone_probe.py (real chip, 1000x1504 x3ch, 2026-08-20):
+# bilinear rides the grid (1.5% warp: rows 1.54 -> grid4x4+sep 1.19 ms;
+# config-5: 0.44 vs 0.46 tie), but lanczos4 LOSES on it at both magnitudes
+# (config-5: rows+sep 1.23 vs grid4x4+sep 1.81; 1.5%: rows 2.15 vs grid4x4
+# 2.48) — 16 launches of overhead plus the halved sep budget (strip-halo
+# phase approximation) disengage sep in exactly the rectangles that needed
+# it. None disables (row zones only).
 _GRID_ZONES: Optional[Tuple[int, int]] = (4, 4)
 
 
@@ -303,16 +310,18 @@ def warp_image_rectilinear(
 
     out = None
     # column x row rectangle zones: every rectangle pays only its LOCAL
-    # displacement spans (round-4 exact bounds). 4x4 measured fastest for the
-    # scored warp shapes (benchmarks/warp_zone_probe.py); launch overhead
-    # (~16 launches) is covered by the span savings at >= 1 MP plane sizes.
-    if _GRID_ZONES is not None and w >= 512 and h >= 64:
+    # displacement spans (round-4 exact bounds). Engaged for bilinear only —
+    # see the _GRID_ZONES note (lanczos4 measured faster on row zones + sep).
+    if (
+        _GRID_ZONES is not None
+        and interpolation == "bilinear"
+        and w >= 512
+        and h >= 64
+    ):
         grid = warp_grid_zones(
             coeffs, w, h, cam_center_norm, scale,
             n_rows=_GRID_ZONES[0], n_cols=_GRID_ZONES[1],
-            interpolation=interpolation
-            if interpolation in ("bilinear", "lanczos4")
-            else None,
+            interpolation=interpolation,
         )
         if grid is not None:
             col_zones, _ = grid

@@ -411,7 +411,10 @@ def test_model_sep_pos_error_zone_and_direction_bounds():
         e = _model_sep_pos_error(both, h, w, bb, direction=d)
         assert e <= glob * (1 + 1e-9)
 
-    for n_zones, expect_sep in ((4, False), (16, True)):
+    # round 4: the ANALYTIC |d map_y/dx| (replacing finite differences + 1.25
+    # fudge) brings the two CENTRAL zones under budget already at n_zones=4 —
+    # config-5's CA remap rides the separable kind there (BASELINE.md ledger)
+    for n_zones, expect_sep in ((4, True), (16, True)):
         zones = _model_row_zones(both, h, w, "inv", n_zones=n_zones)
         assert zones is not None and len(zones) == n_zones
         errs = [
@@ -427,3 +430,7 @@ def test_model_sep_pos_error_zone_and_direction_bounds():
         )
         if expect_sep:
             assert min(errs) <= SEP_POS_ERR_BUDGET
+        # outer zones stay exact at this magnitude — the gating is selective,
+        # not a blanket switch
+        if n_zones == 4:
+            assert errs[0] > SEP_POS_ERR_BUDGET and errs[-1] > SEP_POS_ERR_BUDGET
