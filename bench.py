@@ -209,8 +209,12 @@ def main(full: bool = False) -> None:
 
     @jax.jit
     def config5_step(fs):
+        # burst CA first: maps are frame-independent, so remove_ca_from_raw's
+        # batched path computes them once and runs burst-wide shared-map
+        # remap launches (round 4 — BASELINE.md CA-burst ledger)
+        fs = remove_ca_from_raw(fs, ca_model, ca_model)
+
         def one(f):
-            f = remove_ca_from_raw(f, ca_model, ca_model)
             img = _develop.__wrapped__(f, cfg_best)
             return apply_opcode_3_warp(img, warp_block)
 

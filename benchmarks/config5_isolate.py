@@ -63,6 +63,15 @@ def run_case(case: str) -> None:
         img = jnp.stack([f.bayer, f.bayer, f.bayer], axis=-1)
         return apply_opcode_3_warp(img, warp_block)
 
+    def full_burstca(fs):
+        # whole-burst program: burst CA (maps once, burst-wide launches) then
+        # the per-frame develop+warp map — used directly below, not via `one`
+        fs = remove_ca_from_raw(fs, ca_model, ca_model)
+        return jax.lax.map(lambda f: one(f, False, True, True), fs)
+
+    def ca_burst(fs):
+        return remove_ca_from_raw(fs, ca_model, ca_model).bayer
+
     cases = {
         "ca": lambda f: one(f, True, False, False),
         "warp_only": warp_only,
@@ -72,6 +81,20 @@ def run_case(case: str) -> None:
         "full": lambda f: one(f, True, True, True),
         "full_xla": lambda f: one(f, True, True, True, cfg_xla),
     }
+    if case in ("full_burstca", "ca_burst"):
+        step = jax.jit(full_burstca if case == "full_burstca" else ca_burst)
+        dt = timed_loop(step, burst, iters=8)
+        print(f"[c5i] {case}: {dt*1e3:.1f} ms", flush=True)
+        if case == "ca_burst":
+            # value check vs the per-frame CA path (same budget class)
+            ref = jax.jit(
+                lambda fs: jax.lax.map(
+                    lambda f: remove_ca_from_raw(f, ca_model, ca_model).bayer, fs
+                )
+            )(burst)
+            d = float(jnp.abs(ca_burst(burst) - ref).max())
+            print(f"[c5i] ca_burst vs per-frame maxdiff: {d:.3e}", flush=True)
+        return
     fn = cases[case.removeprefix("one_").removeprefix("map2_")]
     if case.startswith("one_"):
         frame0 = jax.tree_util.tree_map(lambda x: x[0], burst)

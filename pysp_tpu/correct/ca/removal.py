@@ -245,6 +245,18 @@ def remove_ca_from_raw(
                 "to remove error. Use a reversible model and try again."
             )
 
+    if frame.bayer.ndim == 3:
+        # burst: maps are frame-independent, so compute them once and batch
+        # every remap across the whole burst (round 4; see _remove_ca_burst)
+        out = _remove_ca_burst(frame, lens_model_r, lens_model_b)
+        if out is not None:
+            return out
+        import jax
+
+        return jax.lax.map(
+            lambda f: remove_ca_from_raw(f, lens_model_r, lens_model_b), frame
+        )
+
     r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
     g_resampled = resample_g_to_full_resolution(g1, g2)
     wb = frame.wb_reciprocal()
@@ -282,6 +294,113 @@ def remove_ca_from_raw(
         b = bayer_to_rgbg(b_at_g)[2] / wb[2]
 
     return frame.replace(bayer=rgbg_to_bayer(r, g1, b, g2))
+
+
+def _remove_ca_burst(frames, lens_model_r, lens_model_b):
+    """Whole-burst CA removal: maps computed ONCE, remaps batched burst-wide.
+
+    The coordinate maps depend only on (model, shape) — never on pixel data —
+    yet the per-frame composition (lax.map over remove_ca_from_raw) recomputes
+    the Newton inverse and forward maps inside the scan body (~0.4 ms/frame;
+    XLA does not hoist the loop-invariant map tensors out of the while loop).
+    Here every (model, direction) map is built once and each remap runs as ONE
+    (N, bands)-grid launch over the whole burst in the kernel's shared-map
+    mode, amortizing launch overhead 16x. Per-model zones/sep-gating bound
+    tighter than the sequential path's two-model union (bounds only widen clip
+    ranges, so values match wherever the same kind runs; a zone whose
+    per-model position error passes the sep budget may ride the separable kind
+    where the union didn't — within the same 1/32 px accuracy budget).
+    Returns None off-TPU / single-model / unbounded — the caller then runs the
+    per-frame path under lax.map. BASELINE.md round-4 CA-burst ledger.
+    """
+    import jax
+
+    if lens_model_r is None or lens_model_b is None:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+
+    r, g1, b, g2 = bayer_to_rgbg(frames.bayer)  # (N, h2, w2)
+    g_res = jax.vmap(resample_g_to_full_resolution)(g1, g2)  # (N, fh, fw)
+    wb = frames.wb_reciprocal()  # (N, 3)
+    fh, fw = g_res.shape[-2], g_res.shape[-1]
+
+    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
+    from ...ops.resample import SEP_POS_ERR_BUDGET
+
+    def model_setup(model, direction):
+        bound = _model_bound_px(model, fh, fw)
+        if bound is None:
+            return None
+        bb = (-bound, bound)
+        zones = _model_row_zones([model], fh, fw, direction)
+        glob = _model_sep_pos_error([model], fh, fw, bb, direction=direction)
+        kind = (
+            "bilinear_sep"
+            if glob is not None and glob <= SEP_POS_ERR_BUDGET
+            else "bilinear"
+        )
+        kinds = None
+        if zones is not None and kind == "bilinear":
+            ks = []
+            for r0, r1, _, z_dxb in zones:
+                e = _model_sep_pos_error(
+                    [model], fh, fw, z_dxb, direction=direction,
+                    row_range=(r0, r1),
+                )
+                ks.append(
+                    "bilinear_sep"
+                    if e is not None and e <= SEP_POS_ERR_BUDGET
+                    else "bilinear"
+                )
+            kinds = None if all(k == "bilinear" for k in ks) else ks
+        return bb, zones, kind, kinds
+
+    setups = {}
+    for name, model in (("r", lens_model_r), ("b", lens_model_b)):
+        for direction in ("inv", "fwd"):
+            s = model_setup(model, direction)
+            if s is None:
+                return None
+            setups[name, direction] = s
+
+    def launch(stack, mx, my, setup):
+        bb, zones, kind, kinds = setup
+        out = None
+        if zones is not None:
+            out = remap_bounded_pallas_zoned(stack, mx, my, zones, kind, kinds=kinds)
+        if out is None:
+            out = remap_bounded_pallas(stack, mx, my, bb, bb, kind)
+        if out is None and kind != "bilinear":
+            out = remap_bounded_pallas(stack, mx, my, bb, bb, "bilinear")
+        return out
+
+    probe = g_res[0]  # shape carrier only — the maps are data-independent
+
+    def maps(model, direction):
+        coords = (
+            model.get_undistorted_coordinates(probe)
+            if direction == "inv"
+            else model.get_distorted_coordinates(probe)
+        )
+        return _maps_from_offsets(coords, fh, fw)
+
+    g_at_r = launch(g_res, *maps(lens_model_r, "inv"), setups["r", "inv"])
+    g_at_b = launch(g_res, *maps(lens_model_b, "inv"), setups["b", "inv"])
+    if g_at_r is None or g_at_b is None:
+        return None
+
+    r_res = jax.vmap(resample_r)(r * wb[:, 0, None, None], g_at_r)
+    b_res = jax.vmap(resample_b)(b * wb[:, 2, None, None], g_at_b)
+
+    r_at_g = launch(r_res, *maps(lens_model_r, "fwd"), setups["r", "fwd"])
+    b_at_g = launch(b_res, *maps(lens_model_b, "fwd"), setups["b", "fwd"])
+    if r_at_g is None or b_at_g is None:
+        return None
+
+    r_new = bayer_to_rgbg(r_at_g)[0] / wb[:, 0, None, None]
+    b_new = bayer_to_rgbg(b_at_g)[2] / wb[:, 2, None, None]
+    return frames.replace(bayer=rgbg_to_bayer(r_new, g1, b_new, g2))
 
 
 def _remove_ca_batched(

@@ -121,10 +121,20 @@ def develop_pipeline_sharded(
             need = jnp.ceil(n * cfg.hot_pixel_shared_ratio)
             shared_masks = total >= need
 
+        def correct(frame_leaves):
+            f = _rebuild(frames, frame_leaves)
+            return _leaves(_correct_one(f, cfg, flat_f, dark_f, shared_masks))
+
+        if cfg.enables_per_frame_corrections or shared_masks is not None:
+            leaves = lax.map(correct, leaves)
+
+        # burst CA on the local shard: maps computed once, remaps batched
+        # across the shard's frames (remove_ca_from_raw's batched path)
+        local = _rebuild(frames, leaves)
+        local = remove_ca_from_raw(local, ca_model_r, ca_model_b)
+
         def one(frame_leaves):
             f = _rebuild(frames, frame_leaves)
-            f = _correct_one(f, cfg, flat_f, dark_f, shared_masks)
-            f = remove_ca_from_raw(f, ca_model_r, ca_model_b)
             img = develop.__wrapped__(f, cfg.develop)
             if warp_block is not None:
                 img = apply_opcode_3_warp(
@@ -133,7 +143,7 @@ def develop_pipeline_sharded(
                 )
             return img
 
-        return lax.map(one, leaves)
+        return lax.map(one, _leaves(local))
 
     bspec = (P(BATCH_AXIS, None, None),) + (P(BATCH_AXIS),) * 5
     cal_specs = tuple(

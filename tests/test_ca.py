@@ -434,3 +434,33 @@ def test_model_sep_pos_error_zone_and_direction_bounds():
         # not a blanket switch
         if n_zones == 4:
             assert errs[0] > SEP_POS_ERR_BUDGET and errs[-1] > SEP_POS_ERR_BUDGET
+
+
+def test_remove_ca_batched_frames_matches_per_frame():
+    """remove_ca_from_raw on a batched RawFrame == the per-frame calls.
+
+    Off-TPU the burst path falls back to lax.map of the per-frame program, so
+    this locks the batched entry's plumbing (vmapped resamples, per-frame WB)
+    exactly; the TPU burst kernels are value-checked on-chip by
+    benchmarks/config5_isolate.py's ca_burst case (same 1/32-px budget class).
+    """
+    import jax
+
+    from test_demosaic import make_scene, mosaic_rggb
+
+    model = Poly3CorrectionModel(0.008)
+    frames = []
+    for i in range(3):
+        rgb = make_scene(48, 64, seed=90 + i)
+        frames.append(
+            RawFrame.synthetic(
+                mosaic_rggb(rgb),
+                wb_neutral=np.array([0.5 + 0.05 * i, 1.0, 0.6], np.float32),
+            )
+        )
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+
+    got = np.asarray(remove_ca_from_raw(batch, model, model).bayer)
+    for i in range(3):
+        want = np.asarray(remove_ca_from_raw(frames[i], model, model).bayer)
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
