@@ -65,6 +65,13 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--flat", help="flat-field raw (vignetting/dust correction)")
     dev.add_argument("--dark", help="dark-frame raw (subtracted before develop)")
     dev.add_argument("--stats", action="store_true", help="print develop statistics")
+    dev.add_argument("--save-params", metavar="FILE",
+                     help="write fitted develop parameters (CA model "
+                          "coefficients, WB) to a JSON sidecar after this "
+                          "develop — fit once, reuse with --params")
+    dev.add_argument("--params", metavar="FILE",
+                     help="apply develop parameters from a JSON sidecar "
+                          "(skips CA re-fitting; restores saved WB)")
 
     info = sub.add_parser("info", help="print raw metadata")
     info.add_argument("input")
@@ -187,9 +194,18 @@ def _develop(args) -> int:
         print(f"{len(args.inputs)} frames -> {dst}  ({mp:.1f} MP HDR, {dt*1e3:.0f} ms)")
         return 0
 
+    sidecar = None
+    if args.params:
+        from .utils.sidecar import load_sidecar
+
+        sidecar = load_sidecar(args.params)
+        if args.temperature is None and sidecar["temperature_k"] is not None:
+            args.temperature = sidecar["temperature_k"]
+
     plain = not (args.flat or args.dark or args.temperature is not None
                  or args.repair_hot_pixels or args.stats or args.ca or args.warp
-                 or args.denoise > 0.0 or filtering)
+                 or args.denoise > 0.0 or filtering
+                 or sidecar is not None or args.save_params)
     if plain and len(args.inputs) > 1:
         # pipelined decode -> develop -> save (stream driver)
         import os
@@ -228,14 +244,47 @@ def _develop(args) -> int:
         else:
             frame = load_raw(src)
 
-        if args.ca:
+        if (
+            sidecar is not None
+            and sidecar["wb_neutral"] is not None
+            and args.temperature is None
+        ):
+            # restore the saved camera neutral exactly (WB gains = 1/neutral)
+            import jax.numpy as jnp
+
+            frame = frame.replace(
+                wb_neutral=jnp.asarray(sidecar["wb_neutral"], jnp.float32)
+            )
+
+        fitted_r = fitted_b = None
+        if sidecar is not None and (
+            sidecar["ca_model_r"] is not None or sidecar["ca_model_b"] is not None
+        ):
+            # saved coefficients: apply without re-fitting (sidecar workflow)
             from .correct.ca.removal import remove_ca_from_raw
+
+            fitted_r, fitted_b = sidecar["ca_model_r"], sidecar["ca_model_b"]
+            frame = remove_ca_from_raw(frame, fitted_r, fitted_b)
+        elif args.ca:
+            from .correct.ca.removal import remove_ca_from_raw
+
+            def _normalize(model):
+                # with --save-params, apply the model exactly as the sidecar
+                # will replay it (coefficients through their JSON float form),
+                # so fit+save and --params replays are bit-identical
+                if model is None or not args.save_params:
+                    return model
+                from .utils.sidecar import ca_model_from_dict, ca_model_to_dict
+
+                return ca_model_from_dict(ca_model_to_dict(model))
 
             if args.ca == "gradient":
                 from .correct.ca.gradfit import fit_ca_models_gradient
 
                 model_r, model_b = fit_ca_models_gradient(frame)
+                model_r, model_b = _normalize(model_r), _normalize(model_b)
                 frame = remove_ca_from_raw(frame, model_r, model_b)
+                fitted_r, fitted_b = model_r, model_b
             else:
                 from .correct.ca.removal import compute_ca_lens_models_for_raw
 
@@ -254,7 +303,22 @@ def _develop(args) -> int:
                         model_r, model_b = refine_ca_models_gradient(
                             frame, model_r, model_b
                         )
+                    model_r, model_b = _normalize(model_r), _normalize(model_b)
                     frame = remove_ca_from_raw(frame, model_r, model_b)
+                    fitted_r, fitted_b = model_r, model_b
+
+        if args.save_params:
+            from .utils.sidecar import save_sidecar
+
+            save_sidecar(
+                args.save_params,
+                ca_model_r=fitted_r,
+                ca_model_b=fitted_b,
+                wb_neutral=np.asarray(frame.wb_neutral, np.float64),
+                temperature=args.temperature,
+            )
+            print(f"develop parameters -> {args.save_params}", file=sys.stderr)
+            args.save_params = None  # fit state comes from the first input
 
         def _apply_warp(out_host, src=src):
             if not args.warp:
