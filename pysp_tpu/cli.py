@@ -183,9 +183,37 @@ def _develop(args) -> int:
         import jax
         import jax.numpy as jnp
 
+        if args.save_params:
+            print("--save-params does nothing with --hdr (no fit runs); "
+                  "ignored", file=sys.stderr)
+        hdr_sidecar = None
+        if args.params:
+            from .utils.sidecar import load_sidecar
+
+            hdr_sidecar = load_sidecar(args.params)
+
         t0 = time.time()
         frames = [load_raw(src) for src in args.inputs]
         batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+        if hdr_sidecar is not None:
+            # saved WB + CA apply per frame BEFORE the fuse (canonical
+            # sensor-space order: corrections precede HDR stacking)
+            if hdr_sidecar["wb_neutral"] is not None:
+                batch = batch.replace(
+                    wb_neutral=jnp.broadcast_to(
+                        jnp.asarray(hdr_sidecar["wb_neutral"], jnp.float32),
+                        batch.wb_neutral.shape,
+                    )
+                )
+            if (
+                hdr_sidecar["ca_model_r"] is not None
+                or hdr_sidecar["ca_model_b"] is not None
+            ):
+                from .correct.ca.removal import remove_ca_from_raw
+
+                batch = remove_ca_from_raw(
+                    batch, hdr_sidecar["ca_model_r"], hdr_sidecar["ca_model_b"]
+                )
         out_host = np.asarray(_apply_filters(develop_pipeline(batch, pcfg, **aux)))
         dst = args.output or os.path.splitext(args.inputs[0])[0] + "_hdr.png"
         save_image(dst, out_host)
@@ -516,14 +544,18 @@ def _info(args) -> int:
 def _verify_decode(args) -> int:
     from .io.verify_decode import verify_decode
 
-    any_mismatch = False
+    any_bad = False
     reports = []
     for path in args.inputs:
         report = verify_decode(path, name=path)
         reports.append(report)
-        any_mismatch |= report["verdict"] == "mismatch"
+        # mismatch AND builtin decode failures flip the exit code — a built-in
+        # codec crashing on a file the oracle reads is exactly the bug class
+        # this harness exists to catch (intentional rawpy fall-throughs are
+        # classified "no-builtin" and stay green)
+        any_bad |= report["verdict"] in ("mismatch", "builtin-error")
     print(json.dumps(reports if len(reports) > 1 else reports[0], indent=2))
-    return 1 if any_mismatch else 0
+    return 1 if any_bad else 0
 
 
 def main(argv=None) -> int:

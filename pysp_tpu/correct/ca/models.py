@@ -121,10 +121,20 @@ class NewtonRaphsonModel(CaCorrectionModel, ReversibleModelMixin):
 
 
 class Poly3CorrectionModel(NewtonRaphsonModel):
-    """Rd = k1 Ru^3 + (1 - k1) Ru (poly3.py:7-46). Closed-form median fit."""
+    """Rd = k1 Ru^3 + (1 - k1) Ru (poly3.py:7-46). Closed-form median fit.
+
+    Intended-behavior fix (DIVERGENCES.md): the reference constructor clamps
+    k1 to [0, 1] (poly3.py:22) while its own ``compute_coefficients`` assigns
+    the unclamped median — and real CA fits routinely yield small NEGATIVE k1
+    (one of R/B almost always scales below G). The clamp here is the model's
+    actual validity domain instead: monotonicity of Rd(Ru) on [0, 1] requires
+    Rd'(1) = 1 + 2 k1 > 0, so k1 in (-0.5, 1]. Without this, serializing a
+    fitted negative k1 through the constructor (utils/sidecar.py) silently
+    zeroed the correction.
+    """
 
     def __init__(self, initial_k1: float = 0.0):
-        self._k1 = min(1.0, max(float(initial_k1), 0.0))
+        self._k1 = min(1.0, max(float(initial_k1), -0.499))
 
     def _undistorted_to_distorted(self, und):
         return self._k1 * und**3 + (1.0 - self._k1) * und

@@ -296,6 +296,62 @@ def remove_ca_from_raw(
     return frame.replace(bayer=rgbg_to_bayer(r, g1, b, g2))
 
 
+def _ca_launch_setup(models, fh, fw, direction):
+    """(bb, zones, kind, kinds) for a banded CA remap launch using only
+    ``models``' ``direction`` maps — the SINGLE source of the bound / zone /
+    sep-kind gating shared by the per-frame (_remove_ca_batched) and burst
+    (_remove_ca_burst) paths. Direction-restricted gating bounds tighter than
+    a both-directions union (the forward and inverse maps displace opposite
+    ways), within the same 1/32-px sep accuracy budget. None when any model
+    misbehaves or exceeds the bound cap."""
+    from ...ops.resample import SEP_POS_ERR_BUDGET
+
+    bounds = [_model_bound_px(m, fh, fw) for m in models]
+    if any(b is None for b in bounds):
+        return None
+    bound = max(bounds)
+    bb = (-bound, bound)
+    zones = _model_row_zones(models, fh, fw, direction)
+    glob = _model_sep_pos_error(models, fh, fw, bb, direction=direction)
+    kind = (
+        "bilinear_sep"
+        if glob is not None and glob <= SEP_POS_ERR_BUDGET
+        else "bilinear"
+    )
+    kinds = None
+    if zones is not None and kind == "bilinear":
+        # per-zone kinds: |d map_y/dx| ~ |y - cy| for radial models, so
+        # central zones ride the cheap separable kind even when the global
+        # bound fails
+        ks = []
+        for r0, r1, _, z_dxb in zones:
+            e = _model_sep_pos_error(
+                models, fh, fw, z_dxb, direction=direction, row_range=(r0, r1)
+            )
+            ks.append(
+                "bilinear_sep"
+                if e is not None and e <= SEP_POS_ERR_BUDGET
+                else "bilinear"
+            )
+        kinds = None if all(k == "bilinear" for k in ks) else ks
+    return bb, zones, kind, kinds
+
+
+def _ca_launch(stack, mx, my, setup):
+    """Shared zoned -> unzoned -> exact-bilinear banded-remap ladder."""
+    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
+
+    bb, zones, kind, kinds = setup
+    out = None
+    if zones is not None:
+        out = remap_bounded_pallas_zoned(stack, mx, my, zones, kind, kinds=kinds)
+    if out is None:
+        out = remap_bounded_pallas(stack, mx, my, bb, bb, kind)
+    if out is None and kind != "bilinear":
+        out = remap_bounded_pallas(stack, mx, my, bb, bb, "bilinear")
+    return out
+
+
 def _remove_ca_burst(frames, lens_model_r, lens_model_b):
     """Whole-burst CA removal: maps computed ONCE, remaps batched burst-wide.
 
@@ -325,55 +381,15 @@ def _remove_ca_burst(frames, lens_model_r, lens_model_b):
     wb = frames.wb_reciprocal()  # (N, 3)
     fh, fw = g_res.shape[-2], g_res.shape[-1]
 
-    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
-    from ...ops.resample import SEP_POS_ERR_BUDGET
-
-    def model_setup(model, direction):
-        bound = _model_bound_px(model, fh, fw)
-        if bound is None:
-            return None
-        bb = (-bound, bound)
-        zones = _model_row_zones([model], fh, fw, direction)
-        glob = _model_sep_pos_error([model], fh, fw, bb, direction=direction)
-        kind = (
-            "bilinear_sep"
-            if glob is not None and glob <= SEP_POS_ERR_BUDGET
-            else "bilinear"
-        )
-        kinds = None
-        if zones is not None and kind == "bilinear":
-            ks = []
-            for r0, r1, _, z_dxb in zones:
-                e = _model_sep_pos_error(
-                    [model], fh, fw, z_dxb, direction=direction,
-                    row_range=(r0, r1),
-                )
-                ks.append(
-                    "bilinear_sep"
-                    if e is not None and e <= SEP_POS_ERR_BUDGET
-                    else "bilinear"
-                )
-            kinds = None if all(k == "bilinear" for k in ks) else ks
-        return bb, zones, kind, kinds
-
     setups = {}
     for name, model in (("r", lens_model_r), ("b", lens_model_b)):
         for direction in ("inv", "fwd"):
-            s = model_setup(model, direction)
+            s = _ca_launch_setup([model], fh, fw, direction)
             if s is None:
                 return None
             setups[name, direction] = s
 
-    def launch(stack, mx, my, setup):
-        bb, zones, kind, kinds = setup
-        out = None
-        if zones is not None:
-            out = remap_bounded_pallas_zoned(stack, mx, my, zones, kind, kinds=kinds)
-        if out is None:
-            out = remap_bounded_pallas(stack, mx, my, bb, bb, kind)
-        if out is None and kind != "bilinear":
-            out = remap_bounded_pallas(stack, mx, my, bb, bb, "bilinear")
-        return out
+    launch = _ca_launch
 
     probe = g_res[0]  # shape carrier only — the maps are data-independent
 
@@ -420,68 +436,24 @@ def _remove_ca_batched(
     if jax.default_backend() != "tpu" or g_resampled.ndim != 2:
         return None
     fh, fw = g_resampled.shape
-    bound_r = _model_bound_px(lens_model_r, fh, fw)
-    bound_b = _model_bound_px(lens_model_b, fh, fw)
-    if bound_r is None or bound_b is None:
+    both = [lens_model_r, lens_model_b]
+    # shared gating (_ca_launch_setup): union bounds/zones over both models,
+    # per-direction sep kinds — the same single source the burst path uses
+    setup_inv = _ca_launch_setup(both, fh, fw, "inv")
+    setup_fwd = _ca_launch_setup(both, fh, fw, "fwd")
+    if setup_inv is None or setup_fwd is None:
         return None
-    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
-
-    bb = (-max(bound_r, bound_b), max(bound_r, bound_b))
-    both = (lens_model_r, lens_model_b)
-    zones_inv = _model_row_zones(both, fh, fw, "inv")
-    zones_fwd = _model_row_zones(both, fh, fw, "fwd")
-
-    # separable two-pass kind when its position-error bound beats cv2's own
-    # 1/32-px quantization (CA maps are tiny + very smooth, so this is the
-    # common case): linear instead of product select cost in the kernel
-    from ...ops.resample import SEP_POS_ERR_BUDGET
-
-    sep_err = _model_sep_pos_error(both, fh, fw, bb)
-    kind = (
-        "bilinear_sep"
-        if sep_err is not None and sep_err <= SEP_POS_ERR_BUDGET
-        else "bilinear"
-    )
-
-    def zone_kinds(zones, direction):
-        # per-zone kinds (warp_image_rectilinear's trick): |d map_y/dx| ~
-        # |y - cy| for radial models, so central zones ride the cheap
-        # separable kind even when the global bound fails — and each launch
-        # only uses one map direction, which bounds tighter than the union
-        if zones is None or kind == "bilinear_sep":
-            return None
-        ks = []
-        for r0, r1, _, z_dxb in zones:
-            z_err = _model_sep_pos_error(
-                both, fh, fw, z_dxb, direction=direction, row_range=(r0, r1)
-            )
-            ks.append(
-                "bilinear_sep"
-                if z_err is not None and z_err <= SEP_POS_ERR_BUDGET
-                else "bilinear"
-            )
-        return None if all(k == "bilinear" for k in ks) else ks
 
     def maps2(coords_a, coords_b):
         xa, ya = _maps_from_offsets(coords_a, fh, fw)
         xb, yb = _maps_from_offsets(coords_b, fh, fw)
         return jnp.stack([xa, xb]), jnp.stack([ya, yb])
 
-    def launch(img, mx, my, zones, kinds=None):
-        out = None
-        if zones is not None:
-            out = remap_bounded_pallas_zoned(img, mx, my, zones, kind, kinds=kinds)
-        if out is None:
-            out = remap_bounded_pallas(img, mx, my, bb, bb, kind)
-        if out is None and kind != "bilinear":
-            out = remap_bounded_pallas(img, mx, my, bb, bb, "bilinear")
-        return out
-
     mx, my = maps2(
         lens_model_r.get_undistorted_coordinates(g_resampled),
         lens_model_b.get_undistorted_coordinates(g_resampled),
     )
-    g_at = launch(g_resampled, mx, my, zones_inv, zone_kinds(zones_inv, "inv"))
+    g_at = _ca_launch(g_resampled, mx, my, setup_inv)
     if g_at is None:
         return None
 
@@ -492,9 +464,8 @@ def _remove_ca_batched(
         lens_model_r.get_distorted_coordinates(r_resampled),
         lens_model_b.get_distorted_coordinates(b_resampled),
     )
-    back = launch(
-        jnp.stack([r_resampled, b_resampled]), mx2, my2, zones_fwd,
-        zone_kinds(zones_fwd, "fwd"),
+    back = _ca_launch(
+        jnp.stack([r_resampled, b_resampled]), mx2, my2, setup_fwd
     )
     if back is None:
         return None

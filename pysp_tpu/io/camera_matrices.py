@@ -276,9 +276,10 @@ def harvest_camera_matrices_from_dng(
     model = model.strip()
     if register:
         register_camera_matrices(model, mats)
-        # native loaders normalize the model string before lookup; make the
-        # harvested rows reachable through that path too
-        _REGISTRY.setdefault(_norm_model(model), list(mats))
+        # native loaders normalize the model string before lookup; keep the
+        # normalized alias in lockstep (assignment, not setdefault — a
+        # re-harvest with corrected data must replace BOTH entries)
+        _REGISTRY[_norm_model(model)] = list(mats)
     return model, mats
 
 

@@ -63,17 +63,23 @@ def _detect(source: Source):
         if hit:
             return name, loader
 
-    from .raw_loader import load_raw_dng
-
-    try:
-        load_raw_dng(source)
-        return "DNG", load_raw_dng
-    except (ValueError, KeyError, NotImplementedError, OSError):
-        pass
     try:
         if is_nef(source):
             return "NEF", load_raw_nef
     except (ValueError, OSError):
+        pass
+
+    # DNG/TIFF: a cheap header probe (raw IFD present) instead of a full
+    # decode — verify_decode itself decodes right after, so probing by
+    # load_raw_dng would decode every file twice
+    from . import tiff as T
+    from .raw_loader import load_raw_dng
+
+    try:
+        tf = T.read_tiff(source)
+        if tf.find_raw_ifd() is not None:
+            return "DNG", load_raw_dng
+    except Exception:
         pass
     return "unknown", None
 
@@ -100,16 +106,33 @@ def verify_decode(source: Source, name: Optional[str] = None) -> Dict[str, Any]:
     fmt, loader = _detect(source)
     report: Dict[str, Any] = {"file": name or "<bytes>", "format": fmt}
 
+    # ValueErrors load_raw deliberately routes to rawpy (raw_loader.py
+    # fall-throughs): a working, INTENTIONAL gate, not a codec failure
+    _FALLTHROUGH_MARKERS = (
+        "not supported",          # RAF X-Trans / Super-CCD layouts
+        "unsupported compression",  # ARW lossless (7), SRW samsung2/3
+        "unsupported RawFormat",  # RW2 v5+ payloads
+    )
+
     builtin = rawpy_frame = None
+    fallthrough = False
     if loader is None:
         report["builtin"] = {
             "ok": False,
             "reason": "no built-in decoder for this format",
         }
+        fallthrough = True
     else:
         try:
             builtin = loader(source)
             report["builtin"] = {"ok": True, **_frame_summary(builtin)}
+        except ValueError as e:
+            fallthrough = any(m in str(e) for m in _FALLTHROUGH_MARKERS)
+            report["builtin"] = {
+                "ok": False,
+                "reason": f"{type(e).__name__}: {e}",
+                "rawpy_fallthrough_by_design": fallthrough,
+            }
         except Exception as e:  # report, don't crash the harness
             report["builtin"] = {"ok": False, "reason": f"{type(e).__name__}: {e}"}
 
@@ -123,7 +146,9 @@ def verify_decode(source: Source, name: Optional[str] = None) -> Dict[str, Any]:
     if not have_rawpy:
         report["rawpy"] = {"ok": False, "reason": "rawpy not importable"}
         report["verdict"] = (
-            "rawpy-unavailable" if builtin is not None else "builtin-error"
+            "rawpy-unavailable"
+            if builtin is not None
+            else ("no-builtin" if fallthrough else "builtin-error")
         )
         return report
 
@@ -138,7 +163,7 @@ def verify_decode(source: Source, name: Optional[str] = None) -> Dict[str, Any]:
     if builtin is None or rawpy_frame is None:
         report["verdict"] = (
             "no-builtin"
-            if loader is None and rawpy_frame is not None
+            if fallthrough and rawpy_frame is not None
             else ("builtin-error" if builtin is None else "rawpy-error")
         )
         return report

@@ -200,9 +200,27 @@ def develop_hdr_sharded(
             RawFrame.synthetic(dark_bayer) if dark_bayer is not None else None
         )
 
+        shared_masks = None
+        if cfg.repair_hot_pixels and cfg.hot_pixel_shared_ratio is not None:
+            # burst-consensus masks reduce across the sharded frame axis —
+            # same psum as develop_pipeline_sharded (develop_pipeline parity)
+            from ..correct.bad_pixels import find_erroneous_pixels_median
+
+            template = _rebuild(frames, leaves)
+            per_frame = lax.map(
+                lambda f: find_erroneous_pixels_median(
+                    f, cfg.hot_pixel_multiplier, cfg.hot_pixel_quantile
+                ),
+                template,
+            )
+            total = lax.psum(
+                jnp.sum(per_frame.astype(jnp.int32), axis=0), BATCH_AXIS
+            )
+            shared_masks = total >= jnp.ceil(n * cfg.hot_pixel_shared_ratio)
+
         def correct(frame_leaves):
             f = _rebuild(frames, frame_leaves)
-            f = _correct_one(f, cfg, flat_f, dark_f, None)
+            f = _correct_one(f, cfg, flat_f, dark_f, shared_masks)
             return _leaves(f)
 
         if cfg.enables_per_frame_corrections:

@@ -13,6 +13,7 @@ HBM instead of two.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -97,6 +98,31 @@ def compute_offset_remapping_table(
 
 
 def _floor_disp_minmax(
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float,
+    row_range: Tuple[int, int],
+    col_range: Tuple[int, int],
+):
+    """Memoizing front end for :func:`_floor_disp_minmax_impl` — a warp's
+    bounds are queried repeatedly while tracing (global gate + every grid
+    rectangle + per-channel dedup across retraces), and each query is a full
+    f64 sweep of its rectangle."""
+    return _floor_disp_minmax_impl(
+        tuple(float(v) for v in coeffs),
+        width,
+        height,
+        (float(cam_center_norm[0]), float(cam_center_norm[1])),
+        float(scale),
+        (int(row_range[0]), int(row_range[1])),
+        (int(col_range[0]), int(col_range[1])),
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _floor_disp_minmax_impl(
     coeffs,
     width: int,
     height: int,

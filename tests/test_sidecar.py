@@ -25,6 +25,11 @@ from pysp_tpu.utils.sidecar import (
     "model",
     [
         Poly3CorrectionModel(0.012),
+        # NEGATIVE k1: real CA fits routinely produce it (one of R/B scales
+        # below G). The reference constructor clamped it to 0, which silently
+        # zeroed the correction through a sidecar round trip — the clamp is
+        # now the model's monotonicity domain (DIVERGENCES.md).
+        Poly3CorrectionModel(-0.006),
         Poly5CorrectionModel(0.01, -0.004),
         PtLensCorrectionModel(0.008, -0.015, 0.01),
     ],
@@ -36,6 +41,20 @@ def test_ca_model_round_trip(model):
     np.testing.assert_allclose(
         back.get_coefficients(), model.get_coefficients(), atol=1e-12
     )
+
+
+def test_poly3_negative_k1_survives_constructor():
+    """The fitters' negative k1 must survive re-construction (the sidecar
+    replay path); the model stays monotonic/invertible on [0, 1]."""
+    import jax.numpy as jnp
+
+    m = Poly3CorrectionModel(-0.006)
+    assert float(m.get_coefficients()[0]) == -0.006
+    r = jnp.linspace(0.05, 1.0, 64)
+    rd = m.get_distorted(r)
+    assert bool((np.diff(np.asarray(rd)) > 0).all())  # monotonic
+    back = np.asarray(m.estimate_undistorted(rd))
+    np.testing.assert_allclose(back, np.asarray(r), atol=1e-5)
 
 
 def test_save_load_sidecar(tmp_path):

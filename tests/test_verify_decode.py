@@ -125,3 +125,43 @@ def test_cli_surface(monkeypatch, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 1
     assert out["verdict"] == "mismatch"
+
+
+def test_fallthrough_formats_report_no_builtin(monkeypatch):
+    """Formats load_raw deliberately routes to rawpy (X-Trans RAF, ARW
+    lossless, ...) classify 'no-builtin', not 'builtin-error'."""
+    from pysp_tpu.io import verify_decode as vd
+
+    monkeypatch.setattr(
+        vd,
+        "_detect",
+        lambda src: (
+            "ARW",
+            lambda s: (_ for _ in ()).throw(
+                ValueError("ARW: unsupported compression 7")
+            ),
+        ),
+    )
+    report = vd.verify_decode(b"xxxx")
+    assert report["builtin"]["rawpy_fallthrough_by_design"] is True
+    assert report["verdict"] == "no-builtin"  # rawpy absent here -> no oracle
+
+
+def test_builtin_error_flips_cli_exit_code(monkeypatch, tmp_path, capsys):
+    """A built-in decoder CRASH on a decodable file is the bug class the
+    harness exists for: exit code 1, not a silent pass."""
+    import pysp_tpu.io.verify_decode as vd
+    from pysp_tpu.cli import main
+
+    _, dng = _dng_with_u16(seed=11)
+    p = tmp_path / "e.dng"
+    p.write_bytes(dng)
+
+    def broken(src):
+        raise RuntimeError("decoder crashed")
+
+    monkeypatch.setattr(vd, "_detect", lambda src: ("DNG", broken))
+    rc = main(["verify-decode", str(p)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["verdict"] == "builtin-error"
+    assert rc == 1
