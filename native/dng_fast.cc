@@ -1240,4 +1240,164 @@ int srw_decode(const uint8_t* data, int64_t len, const uint32_t* row_offsets,
   return 0;
 }
 
+// --- fast PNG writer (stored-deflate blocks) --------------------------------
+// The streamed develop's true host bottleneck is PIL's zlib PNG encode
+// (3-12 s at 24 MP — BASELINE.md round-4 e2e ledger). A PNG whose IDAT is a
+// zlib stream of STORED deflate blocks needs no compression at all: just the
+// filtered scanlines (filter byte 0), block headers, adler32 and per-chunk
+// CRC32 — a single memcpy-speed pass (~20-40x faster, ~12% larger files).
+
+static uint32_t png_crc_table[256];
+static bool png_crc_ready = false;
+
+static void png_crc_init() {
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    png_crc_table[i] = c;
+  }
+  png_crc_ready = true;
+}
+
+static uint32_t png_crc32(uint32_t crc, const uint8_t* p, int64_t n) {
+  crc ^= 0xFFFFFFFFu;
+  for (int64_t i = 0; i < n; i++)
+    crc = png_crc_table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
+static void png_be32(uint8_t* p, uint32_t v) {
+  p[0] = static_cast<uint8_t>(v >> 24);
+  p[1] = static_cast<uint8_t>(v >> 16);
+  p[2] = static_cast<uint8_t>(v >> 8);
+  p[3] = static_cast<uint8_t>(v);
+}
+
+// Required output capacity for png_encode_fast (host computes via this).
+int64_t png_encode_fast_bound(int32_t height, int32_t width, int32_t channels) {
+  int64_t filtered = static_cast<int64_t>(height) *
+                     (1 + static_cast<int64_t>(width) * channels);
+  int64_t nblocks = (filtered + 65534) / 65535;
+  return 8 + 25 + (12 + 2 + nblocks * 5 + filtered + 4) + 12 + 64;
+}
+
+// Encode interleaved 8-bit pixels (channels = 3 RGB or 1 gray) to a valid PNG.
+// Returns bytes written, or negative on bad args / insufficient capacity.
+int64_t png_encode_fast(const uint8_t* pixels, int32_t height, int32_t width,
+                        int32_t channels, uint8_t* out, int64_t capacity) {
+  if (height <= 0 || width <= 0 || (channels != 1 && channels != 3)) return -1;
+  if (capacity < png_encode_fast_bound(height, width, channels)) return -2;
+  if (!png_crc_ready) png_crc_init();
+
+  const int64_t row_bytes = static_cast<int64_t>(width) * channels;
+  const int64_t filtered = static_cast<int64_t>(height) * (1 + row_bytes);
+  const int64_t nblocks = (filtered + 65534) / 65535;
+  uint8_t* p = out;
+
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  for (int i = 0; i < 8; i++) *p++ = sig[i];
+
+  // IHDR
+  png_be32(p, 13);
+  p += 4;
+  uint8_t* ihdr = p;
+  p[0] = 'I'; p[1] = 'H'; p[2] = 'D'; p[3] = 'R';
+  png_be32(p + 4, static_cast<uint32_t>(width));
+  png_be32(p + 8, static_cast<uint32_t>(height));
+  p[12] = 8;                            // bit depth
+  p[13] = channels == 3 ? 2 : 0;        // color type
+  p[14] = 0; p[15] = 0; p[16] = 0;      // compression / filter / interlace
+  p += 17;
+  png_be32(p, png_crc32(0, ihdr, 17));
+  p += 4;
+
+  // IDAT: zlib header + stored blocks over the filtered scanline stream.
+  // The stream is produced block-by-block straight into the output buffer
+  // (no 72 MB intermediate): a virtual cursor walks rows + filter bytes.
+  const int64_t idat_len = 2 + nblocks * 5 + filtered + 4;
+  png_be32(p, static_cast<uint32_t>(idat_len));
+  p += 4;
+  uint8_t* idat_tag = p;
+  p[0] = 'I'; p[1] = 'D'; p[2] = 'A'; p[3] = 'T';
+  p += 4;
+  *p++ = 0x78;  // zlib CMF
+  *p++ = 0x01;  // FLG (no dict, fastest hint; (0x7801 % 31) == 0)
+
+  uint32_t ad_a = 1, ad_b = 0;  // adler32 accumulators (mod 65521, deferred)
+  int64_t ad_defer = 0;
+  int64_t row = 0, col = -1;  // col -1 = the row's filter byte
+  int64_t remaining = filtered;
+  const uint8_t* src_row = pixels;
+  while (remaining > 0) {
+    int64_t blk = remaining < 65535 ? remaining : 65535;
+    remaining -= blk;
+    *p++ = remaining == 0 ? 1 : 0;  // BFINAL
+    *p++ = static_cast<uint8_t>(blk & 0xFF);
+    *p++ = static_cast<uint8_t>(blk >> 8);
+    *p++ = static_cast<uint8_t>(~blk & 0xFF);
+    *p++ = static_cast<uint8_t>((~blk >> 8) & 0xFF);
+    // contiguous spans (whole row slices between filter bytes): memcpy +
+    // blocked adler instead of a per-byte loop (~0.8 s -> memory-bound)
+    int64_t left = blk;
+    while (left > 0) {
+      if (col < 0) {
+        *p++ = 0;  // filter type: None
+        ad_b += ad_a;  // v == 0: a unchanged, b += a
+        if (++ad_defer >= 5552) {
+          ad_a %= 65521;
+          ad_b %= 65521;
+          ad_defer = 0;
+        }
+        col = 0;
+        left--;
+        continue;
+      }
+      int64_t span = row_bytes - col;
+      if (span > left) span = left;
+      std::memcpy(p, src_row + col, static_cast<size_t>(span));
+      const uint8_t* q = p;
+      int64_t s = span;
+      while (s > 0) {
+        int64_t chunk = 5552 - ad_defer;
+        if (chunk > s) chunk = s;
+        for (int64_t i = 0; i < chunk; i++) {
+          ad_a += q[i];
+          ad_b += ad_a;
+        }
+        ad_defer += chunk;
+        if (ad_defer >= 5552) {
+          ad_a %= 65521;
+          ad_b %= 65521;
+          ad_defer = 0;
+        }
+        q += chunk;
+        s -= chunk;
+      }
+      p += span;
+      col += span;
+      left -= span;
+      if (col >= row_bytes) {
+        col = -1;
+        row++;
+        src_row = pixels + row * row_bytes;
+      }
+    }
+  }
+  ad_a %= 65521;
+  ad_b %= 65521;
+  png_be32(p, (static_cast<uint32_t>(ad_b) << 16) | static_cast<uint32_t>(ad_a));
+  p += 4;
+  png_be32(p, png_crc32(0, idat_tag, 4 + idat_len));
+  p += 4;
+
+  // IEND
+  png_be32(p, 0);
+  p += 4;
+  p[0] = 'I'; p[1] = 'E'; p[2] = 'N'; p[3] = 'D';
+  png_be32(p + 4, png_crc32(0, p, 4));
+  p += 8;
+
+  return p - out;
+}
+
 }  // extern "C"

@@ -21,13 +21,29 @@ def to_uint16(srgb: np.ndarray) -> np.ndarray:
     ).astype(np.uint16)
 
 
-def save_image(path: str, srgb: np.ndarray) -> None:
-    """Save an sRGB float image ([0,1], (H, W, 3)) by extension: .png/.jpg via PIL,
-    .tif/.tiff as built-in uncompressed 16-bit RGB TIFF."""
+def save_image(path: str, srgb: np.ndarray, fast_png: bool = True) -> None:
+    """Save an sRGB float image ([0,1], (H, W, 3)) by extension: .png via the
+    native fast writer (or PIL), .jpg via PIL, .tif/.tiff as built-in
+    uncompressed 16-bit RGB TIFF.
+
+    ``fast_png=True`` (default) uses the native stored-deflate PNG writer when
+    built — bit-identical pixels through any decoder, ~20-40x faster than
+    PIL's zlib pass at ~12% larger files; PNG encode was the streamed
+    develop's measured host bottleneck (BASELINE.md round-4 e2e ledger). Pass
+    ``fast_png=False`` for PIL's smaller compressed output.
+    """
     lower = path.lower()
     if lower.endswith((".tif", ".tiff")):
         save_tiff16(path, srgb)
         return
+
+    if lower.endswith(".png") and fast_png:
+        from . import native
+
+        if native.has_png():
+            with open(path, "wb") as f:
+                f.write(native.png_encode(to_uint8(srgb)))
+            return
 
     from PIL import Image
 

@@ -162,6 +162,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:
         pass
+    try:
+        lib.png_encode_fast_bound.restype = ctypes.c_int64
+        lib.png_encode_fast_bound.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.png_encode_fast.restype = ctypes.c_int64
+        lib.png_encode_fast.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+        ]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -489,4 +505,38 @@ def nef_encode(img: np.ndarray, tree_idx: int, vpred: np.ndarray) -> bytes:
     )
     if n < 0:
         raise ValueError(f"NEF encode failed (code {n})")
+    return out[:n].tobytes()
+
+
+def has_png() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "png_encode_fast")
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode (H, W, 3) or (H, W) uint8 pixels as a valid PNG — stored-deflate
+    blocks, no compression pass (~20-40x faster than zlib at ~12% larger
+    files; BASELINE.md round-4 PNG ledger). The output reads back identically
+    through any PNG decoder."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "png_encode_fast"):
+        raise RuntimeError("native png_encode_fast unavailable (make -C native)")
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"png_encode supports 1 or 3 channels, got {c}")
+    cap = lib.png_encode_fast_bound(h, w, c)
+    out = np.empty(int(cap), np.uint8)
+    n = lib.png_encode_fast(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h,
+        w,
+        c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.size,
+    )
+    if n <= 0:
+        raise ValueError(f"fast PNG encode failed (code {n})")
     return out[:n].tobytes()

@@ -395,3 +395,34 @@ def test_native_codec_fuzz_roundtrips():
             curve = np.arange(1 << bits, dtype=np.uint16)
             back = native.nef_decode(blob, h, w, tree, vpred, 0, curve)
             np.testing.assert_array_equal(back, img, err_msg=f"tree{tree}")
+
+
+# --- fast PNG writer (native stored-deflate) -------------------------------------------
+def test_fast_png_round_trip_and_fallback(tmp_path):
+    """save_image's fast PNG path: any PNG decoder reads back identical pixels;
+    PIL fallback produces the same pixels when the native writer is absent."""
+    import io as _io
+
+    from PIL import Image
+
+    from pysp_tpu.io import native
+    from pysp_tpu.io.image_out import save_image, to_uint8
+
+    rng = np.random.default_rng(21)
+    srgb = rng.random((37, 53, 3)).astype(np.float32)
+
+    p_fast = str(tmp_path / "fast.png")
+    p_pil = str(tmp_path / "pil.png")
+    save_image(p_fast, srgb)                       # native when built
+    save_image(p_pil, srgb, fast_png=False)        # PIL zlib path
+    a = np.asarray(Image.open(p_fast))
+    b = np.asarray(Image.open(p_pil))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, to_uint8(srgb))
+
+    if native.has_png():
+        # odd geometries + block boundaries (65535-byte stored blocks)
+        for shape in ((1, 1, 3), (2, 3, 3), (101, 217, 3), (5552, 4, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            back = np.asarray(Image.open(_io.BytesIO(native.png_encode(img))))
+            np.testing.assert_array_equal(back, img)
