@@ -1274,22 +1274,30 @@ static void png_be32(uint8_t* p, uint32_t v) {
 }
 
 // Required output capacity for png_encode_fast (host computes via this).
-int64_t png_encode_fast_bound(int32_t height, int32_t width, int32_t channels) {
-  int64_t filtered = static_cast<int64_t>(height) *
-                     (1 + static_cast<int64_t>(width) * channels);
+// sample_bytes: 1 for 8-bit, 2 for 16-bit samples.
+int64_t png_encode_fast_bound(int32_t height, int32_t width, int32_t channels,
+                              int32_t sample_bytes) {
+  int64_t filtered =
+      static_cast<int64_t>(height) *
+      (1 + static_cast<int64_t>(width) * channels * sample_bytes);
   int64_t nblocks = (filtered + 65534) / 65535;
   return 8 + 25 + (12 + 2 + nblocks * 5 + filtered + 4) + 12 + 64;
 }
 
-// Encode interleaved 8-bit pixels (channels = 3 RGB or 1 gray) to a valid PNG.
-// Returns bytes written, or negative on bad args / insufficient capacity.
+// Encode interleaved pixels (channels = 3 RGB or 1 gray; sample_bytes = 1 for
+// 8-bit, 2 for 16-bit with the samples ALREADY big-endian — PNG byte order)
+// to a valid PNG. Returns bytes written, or negative on bad args / capacity.
 int64_t png_encode_fast(const uint8_t* pixels, int32_t height, int32_t width,
-                        int32_t channels, uint8_t* out, int64_t capacity) {
+                        int32_t channels, int32_t sample_bytes, uint8_t* out,
+                        int64_t capacity) {
   if (height <= 0 || width <= 0 || (channels != 1 && channels != 3)) return -1;
-  if (capacity < png_encode_fast_bound(height, width, channels)) return -2;
+  if (sample_bytes != 1 && sample_bytes != 2) return -1;
+  if (capacity < png_encode_fast_bound(height, width, channels, sample_bytes))
+    return -2;
   if (!png_crc_ready) png_crc_init();
 
-  const int64_t row_bytes = static_cast<int64_t>(width) * channels;
+  const int64_t row_bytes =
+      static_cast<int64_t>(width) * channels * sample_bytes;
   const int64_t filtered = static_cast<int64_t>(height) * (1 + row_bytes);
   const int64_t nblocks = (filtered + 65534) / 65535;
   uint8_t* p = out;
@@ -1304,8 +1312,8 @@ int64_t png_encode_fast(const uint8_t* pixels, int32_t height, int32_t width,
   p[0] = 'I'; p[1] = 'H'; p[2] = 'D'; p[3] = 'R';
   png_be32(p + 4, static_cast<uint32_t>(width));
   png_be32(p + 8, static_cast<uint32_t>(height));
-  p[12] = 8;                            // bit depth
-  p[13] = channels == 3 ? 2 : 0;        // color type
+  p[12] = static_cast<uint8_t>(8 * sample_bytes);  // bit depth
+  p[13] = channels == 3 ? 2 : 0;                   // color type
   p[14] = 0; p[15] = 0; p[16] = 0;      // compression / filter / interlace
   p += 17;
   png_be32(p, png_crc32(0, ihdr, 17));

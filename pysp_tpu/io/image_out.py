@@ -50,6 +50,19 @@ def save_image(path: str, srgb: np.ndarray, fast_png: bool = True) -> None:
     Image.fromarray(to_uint8(srgb), mode="RGB").save(path)
 
 
+def save_png16(path: str, srgb: np.ndarray) -> None:
+    """Write a 16-bit RGB PNG via the native fast writer.
+
+    The high-fidelity PNG path (PIL cannot write 16-bit RGB PNGs at all);
+    requires the native library (``make -C native``). For a 16-bit format
+    that needs no native build, use :func:`save_tiff16`.
+    """
+    from . import native
+
+    with open(path, "wb") as f:
+        f.write(native.png_encode(to_uint16(srgb)))
+
+
 def save_tiff16(path: str, srgb: np.ndarray) -> None:
     """Write an uncompressed 16-bit RGB TIFF with the built-in writer."""
     img = to_uint16(srgb)

@@ -165,11 +165,12 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib.png_encode_fast_bound.restype = ctypes.c_int64
         lib.png_encode_fast_bound.argtypes = [
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.png_encode_fast.restype = ctypes.c_int64
         lib.png_encode_fast.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
@@ -514,26 +515,34 @@ def has_png() -> bool:
 
 
 def png_encode(img: np.ndarray) -> bytes:
-    """Encode (H, W, 3) or (H, W) uint8 pixels as a valid PNG — stored-deflate
-    blocks, no compression pass (~20-40x faster than zlib at ~12% larger
-    files; BASELINE.md round-4 PNG ledger). The output reads back identically
-    through any PNG decoder."""
+    """Encode (H, W, 3) or (H, W) pixels as a valid PNG — stored-deflate
+    blocks, no compression pass (~12x faster than zlib at ~12% larger files;
+    BASELINE.md round-4 PNG ledger). uint8 input writes an 8-bit PNG; uint16
+    a 16-bit PNG (a mode PIL cannot even write for RGB). The output reads
+    back identically through any PNG decoder."""
     lib = _load()
     if lib is None or not hasattr(lib, "png_encode_fast"):
         raise RuntimeError("native png_encode_fast unavailable (make -C native)")
-    img = np.ascontiguousarray(img, np.uint8)
+    img = np.asarray(img)
+    if img.dtype == np.uint16:
+        sample_bytes = 2
+        raw = np.ascontiguousarray(img.astype(">u2")).view(np.uint8)
+    else:
+        sample_bytes = 1
+        raw = np.ascontiguousarray(img, np.uint8)
     if img.ndim == 2:
         img = img[..., None]
-    h, w, c = img.shape
+    h, w, c = img.shape[0], img.shape[1], (img.shape[2] if img.ndim == 3 else 1)
     if c not in (1, 3):
         raise ValueError(f"png_encode supports 1 or 3 channels, got {c}")
-    cap = lib.png_encode_fast_bound(h, w, c)
+    cap = lib.png_encode_fast_bound(h, w, c, sample_bytes)
     out = np.empty(int(cap), np.uint8)
     n = lib.png_encode_fast(
-        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         h,
         w,
         c,
+        sample_bytes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.size,
     )

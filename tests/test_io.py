@@ -426,3 +426,51 @@ def test_fast_png_round_trip_and_fallback(tmp_path):
             img = rng.integers(0, 256, shape).astype(np.uint8)
             back = np.asarray(Image.open(_io.BytesIO(native.png_encode(img))))
             np.testing.assert_array_equal(back, img)
+
+
+def test_fast_png16(tmp_path):
+    """16-bit PNG: PIL reads the 16-bit samples back exactly (a mode PIL
+    cannot itself write for RGB)."""
+    from PIL import Image
+
+    from pysp_tpu.io import native
+    from pysp_tpu.io.image_out import save_png16, to_uint16
+
+    if not native.has_png():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(23)
+    srgb = rng.random((21, 35, 3)).astype(np.float32)
+    p = str(tmp_path / "hi.png")
+    save_png16(p, srgb)
+    want = to_uint16(srgb)
+
+    # PIL opens 16-bit RGB PNGs but downconverts to 8-bit: the high bytes
+    # must match (proves a valid, decodable file) ...
+    arr = np.asarray(Image.open(p))
+    assert arr.dtype == np.uint8
+    np.testing.assert_array_equal(arr, (want >> 8).astype(np.uint8))
+
+    # ... and a hand zlib-decode of the IDAT proves the full 16-bit samples
+    # are stored exactly (big-endian, filter 0)
+    data = open(p, "rb").read()
+    pos, idat = 8, b""
+    while pos < len(data):
+        ln, tag = struct.unpack(">L4s", data[pos:pos + 8])
+        if tag == b"IDAT":
+            idat += data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    h, w, _ = want.shape
+    stride = 1 + w * 3 * 2
+    rows = []
+    for r in range(h):
+        row = raw[r * stride:(r + 1) * stride]
+        assert row[0] == 0  # filter: None
+        rows.append(np.frombuffer(row[1:], ">u2").reshape(w, 3))
+    np.testing.assert_array_equal(np.stack(rows), want)
