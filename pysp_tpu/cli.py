@@ -65,6 +65,9 @@ def _build_parser() -> argparse.ArgumentParser:
     dev.add_argument("--flat", help="flat-field raw (vignetting/dust correction)")
     dev.add_argument("--dark", help="dark-frame raw (subtracted before develop)")
     dev.add_argument("--stats", action="store_true", help="print develop statistics")
+    dev.add_argument("--bit-depth", type=int, choices=[8, 16], default=8,
+                     help="output sample depth: 16 writes 16-bit PNGs via the "
+                          "native fast writer (TIFF output is always 16-bit)")
     dev.add_argument("--save-params", metavar="FILE",
                      help="write fitted develop parameters (CA model "
                           "coefficients, WB) to a JSON sidecar after this "
@@ -84,6 +87,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     vd.add_argument("inputs", nargs="+", help="raw file path(s)")
     return p
+
+
+def _save_output(args, dst: str, img) -> None:
+    from .io.image_out import save_image, save_png16
+
+    if getattr(args, "bit_depth", 8) == 16 and dst.lower().endswith(".png"):
+        save_png16(dst, img)
+    else:
+        save_image(dst, img)
 
 
 def _dst_for(args, src: str) -> str:
@@ -216,7 +228,7 @@ def _develop(args) -> int:
                 )
         out_host = np.asarray(_apply_filters(develop_pipeline(batch, pcfg, **aux)))
         dst = args.output or os.path.splitext(args.inputs[0])[0] + "_hdr.png"
-        save_image(dst, out_host)
+        _save_output(args, dst, out_host)
         mp = out_host.shape[0] * out_host.shape[1] / 1e6
         dt = time.time() - t0
         print(f"{len(args.inputs)} frames -> {dst}  ({mp:.1f} MP HDR, {dt*1e3:.0f} ms)")
@@ -367,7 +379,7 @@ def _develop(args) -> int:
             )
             dt = time.time() - t0
             dst = _dst_for(args, src)
-            save_image(dst, out_host)
+            _save_output(args, dst, out_host)
             mp = out_host.shape[0] * out_host.shape[1] / 1e6
             print(f"{src} -> {dst}  ({mp:.1f} MP, {dt*1e3:.0f} ms)")
             continue
@@ -394,7 +406,7 @@ def _develop(args) -> int:
         out_host = _apply_warp(np.asarray(_apply_filters(out)))
         dt = time.time() - t0
         dst = _dst_for(args, src)
-        save_image(dst, out_host)
+        _save_output(args, dst, out_host)
         mp = out_host.shape[0] * out_host.shape[1] / 1e6
         print(f"{src} -> {dst}  ({mp:.1f} MP, {dt*1e3:.0f} ms)")
     return 0

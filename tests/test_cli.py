@@ -201,3 +201,32 @@ def test_cli_info_arw_reports_makernote_wb(arw_path, capsys):
     np.testing.assert_allclose(
         meta["as_shot_neutral"], [0.5, 1.0, 1024.0 / 1433.0], atol=1e-5
     )
+
+
+def test_cli_bit_depth_16_png(tmp_path):
+    """--bit-depth 16 writes a true 16-bit PNG (native fast writer)."""
+    import struct
+
+    from pysp_tpu.io import native
+
+    if not native.has_png():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    rng = np.random.default_rng(31)
+    u16 = rng.integers(300, 3900, (32, 48)).astype(np.uint16)
+    src = str(tmp_path / "d16.dng")
+    with open(src, "wb") as f:
+        f.write(write_synthetic_dng(u16))
+    out = str(tmp_path / "d16.png")
+    rc = main(["develop", src, "-o", out, "--quality", "draft",
+               "--bit-depth", "16"])
+    assert rc == 0
+    data = open(out, "rb").read()
+    # IHDR bit depth byte (offset: 8 sig + 8 chunk hdr + 8 w/h)
+    assert data[24] == 16 and data[25] == 2  # 16-bit, RGB
+    # and the default stays 8-bit
+    out8 = str(tmp_path / "d8.png")
+    assert main(["develop", src, "-o", out8, "--quality", "draft"]) == 0
+    assert open(out8, "rb").read()[24] == 8
