@@ -79,13 +79,26 @@ def _build_parser() -> argparse.ArgumentParser:
     info = sub.add_parser("info", help="print raw metadata")
     info.add_argument("input")
 
+    hv = sub.add_parser(
+        "harvest",
+        help="pull REAL per-body ColorMatrix1/2 calibration out of DNG file(s) "
+             "or directory tree(s) into the persistent registry cache, so "
+             "native-format loads (CR2/NEF/ARW/...) of the same bodies stop "
+             "using estimated StdA matrices; prints estimate-vs-real deltas",
+    )
+    hv.add_argument("inputs", nargs="+", help="DNG file(s) and/or directories")
+
     vd = sub.add_parser(
         "verify-decode",
         help="cross-decode file(s) with the built-in codec AND rawpy/libraw "
              "and report bit/PSNR parity + metadata diffs (first-contact "
              "codec validation; exits 1 on any mismatch)",
     )
-    vd.add_argument("inputs", nargs="+", help="raw file path(s)")
+    vd.add_argument("inputs", nargs="+",
+                    help="raw file path(s) and/or directories (directories are "
+                         "swept recursively for known raw extensions; sweep "
+                         "mode prints one JSON line per file plus a per-format "
+                         "summary table)")
     return p
 
 
@@ -554,20 +567,88 @@ def _info(args) -> int:
 
 
 def _verify_decode(args) -> int:
-    from .io.verify_decode import verify_decode
+    import os
+
+    from .io.verify_decode import (
+        BAD_VERDICTS,
+        iter_raw_files,
+        summary_table,
+        sweep_decode,
+        verify_decode,
+    )
+
+    # directories expand recursively (first-contact sweep: point this at a
+    # photo tree the day rawpy + real files exist and read the table)
+    sweep = any(os.path.isdir(p) for p in args.inputs)
+    if sweep:
+        paths = []
+        for p in args.inputs:
+            paths.extend(iter_raw_files(p) if os.path.isdir(p) else [p])
+        reports, summary = sweep_decode(paths)
+        for report in reports:
+            print(json.dumps(report, separators=(",", ":")))
+        print()
+        print(summary_table(summary))
+        # mismatch AND builtin decode failures flip the exit code — a built-in
+        # codec crashing on a file the oracle reads is exactly the bug class
+        # this harness exists to catch (intentional rawpy fall-throughs are
+        # classified "no-builtin" and stay green)
+        return 1 if any(r["verdict"] in BAD_VERDICTS for r in reports) else 0
 
     any_bad = False
     reports = []
     for path in args.inputs:
         report = verify_decode(path, name=path)
         reports.append(report)
-        # mismatch AND builtin decode failures flip the exit code — a built-in
-        # codec crashing on a file the oracle reads is exactly the bug class
-        # this harness exists to catch (intentional rawpy fall-throughs are
-        # classified "no-builtin" and stay green)
-        any_bad |= report["verdict"] in ("mismatch", "builtin-error")
+        any_bad |= report["verdict"] in BAD_VERDICTS
     print(json.dumps(reports if len(reports) > 1 else reports[0], indent=2))
     return 1 if any_bad else 0
+
+
+def _harvest(args) -> int:
+    import os
+
+    from .io.camera_matrices import harvest_camera_matrices_from_dng
+    from .io.matrix_cache import _read_cache_file, cache_path
+    from .io.verify_decode import iter_raw_files
+
+    dng_exts = (".dng", ".tif", ".tiff")
+    paths = []
+    for p in args.inputs:
+        if os.path.isdir(p):
+            paths.extend(
+                f for f in iter_raw_files(p)
+                if os.path.splitext(f)[1].lower() in dng_exts
+            )
+        else:
+            paths.append(p)
+
+    results = []
+    harvested_models = set()
+    for path in paths:
+        row = {"file": path}
+        try:
+            model, mats = harvest_camera_matrices_from_dng(path, source_name=path)
+            row["model"] = model
+            row["n_matrices"] = len(mats)
+            harvested_models.add(model)
+        except (ValueError, KeyError, OSError) as e:
+            row["skipped"] = f"{type(e).__name__}: {e}"
+        results.append(row)
+        print(json.dumps(row, separators=(",", ":")))
+
+    # deltas come back off the persisted cache — the evidence the harvest left
+    bodies = _read_cache_file(cache_path())
+    for model in sorted(harvested_models):
+        deltas = bodies.get(model, {}).get("estimate_vs_real")
+        if deltas:
+            print(json.dumps({"model": model, "estimate_vs_real": deltas}))
+    print(
+        f"harvested {len(harvested_models)} bodies from "
+        f"{sum('model' in r for r in results)}/{len(results)} files "
+        f"-> {cache_path()}"
+    )
+    return 0 if harvested_models or not paths else 1
 
 
 def main(argv=None) -> int:
@@ -578,6 +659,8 @@ def main(argv=None) -> int:
         return _info(args)
     if args.command == "verify-decode":
         return _verify_decode(args)
+    if args.command == "harvest":
+        return _harvest(args)
     return 2
 
 

@@ -18,11 +18,34 @@ failure).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import os
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 Source = Any  # str path or bytes
+
+# every container the loaders (or the rawpy gate) know how to open; the sweep
+# walks directory trees and picks up exactly these, case-insensitively
+RAW_EXTENSIONS = frozenset(
+    {
+        ".dng",
+        ".tif",
+        ".tiff",
+        ".cr2",
+        ".cr3",
+        ".nef",
+        ".nrw",
+        ".arw",
+        ".orf",
+        ".rw2",
+        ".raw",
+        ".raf",
+        ".pef",
+        ".mrw",
+        ".srw",
+    }
+)
 
 
 # match verdict gate: built-in and libraw may legitimately differ in black-level
@@ -210,3 +233,77 @@ def verify_decode(source: Source, name: Optional[str] = None) -> Dict[str, Any]:
         "match" if pixels_ok and "pattern_mismatch" not in parity else "mismatch"
     )
     return report
+
+
+def iter_raw_files(root: str) -> Iterator[str]:
+    """Yield raw-container files under ``root`` (recursive, sorted, by extension)."""
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if os.path.splitext(fn)[1].lower() in RAW_EXTENSIONS:
+                yield os.path.join(dirpath, fn)
+
+
+# exit-code-flipping verdicts: a decode disagreement or a built-in codec crash
+# on a file the oracle reads (intentional rawpy fall-throughs stay green)
+BAD_VERDICTS = ("mismatch", "builtin-error")
+
+
+def sweep_decode(
+    paths: Sequence[str],
+) -> Tuple[List[Dict[str, Any]], Dict[str, Dict[str, int]]]:
+    """verify_decode every path; return (reports, per-format verdict counts).
+
+    The directory-sweep workhorse behind ``python -m pysp_tpu verify-decode
+    <dir>`` — the one-command first-contact harness (VERDICT r4 item 7): the
+    first environment with rawpy + real camera files runs this over a tree and
+    gets codec evidence per format with zero thought.
+    """
+    reports: List[Dict[str, Any]] = []
+    summary: Dict[str, Dict[str, int]] = {}
+    for path in paths:
+        try:
+            report = verify_decode(path, name=path)
+        except Exception as e:  # harness must never die mid-tree
+            report = {
+                "file": path,
+                "format": "unknown",
+                "verdict": "builtin-error",
+                "builtin": {"ok": False, "reason": f"{type(e).__name__}: {e}"},
+            }
+        reports.append(report)
+        fmt = report.get("format", "unknown")
+        summary.setdefault(fmt, {})
+        verdict = report.get("verdict", "builtin-error")
+        summary[fmt][verdict] = summary[fmt].get(verdict, 0) + 1
+    return reports, summary
+
+
+def summary_table(summary: Dict[str, Dict[str, int]]) -> str:
+    """Human-readable per-format verdict table for the sweep report."""
+    verdicts = sorted({v for row in summary.values() for v in row})
+    if not verdicts:
+        return "no raw files found"
+    wfmt = max([len("format")] + [len(f) for f in summary])
+    header = "format".ljust(wfmt) + "  " + "  ".join(
+        v.rjust(max(len(v), 5)) for v in verdicts
+    ) + "  total"
+    lines = [header, "-" * len(header)]
+    totals = {v: 0 for v in verdicts}
+    for fmt in sorted(summary):
+        row = summary[fmt]
+        cells = []
+        for v in verdicts:
+            n = row.get(v, 0)
+            totals[v] += n
+            cells.append(str(n).rjust(max(len(v), 5)))
+        lines.append(
+            fmt.ljust(wfmt) + "  " + "  ".join(cells) + f"  {sum(row.values()):5d}"
+        )
+    lines.append(
+        "TOTAL".ljust(wfmt)
+        + "  "
+        + "  ".join(str(totals[v]).rjust(max(len(v), 5)) for v in verdicts)
+        + f"  {sum(totals.values()):5d}"
+    )
+    return "\n".join(lines)
