@@ -184,9 +184,27 @@ def register_camera_matrices(model: str, mats: List[MatXyzToCamera]) -> None:
     _REGISTRY[model.strip()] = list(mats)
 
 
+_cache_loaded = False
+
+
+def _ensure_persistent_cache() -> None:
+    """Load the on-disk harvest cache into ``_REGISTRY`` once per process.
+
+    Lazy (first lookup, not import) so import stays IO-free; a CR2 of body X
+    picks up matrices harvested from a DNG of body X in a previous process."""
+    global _cache_loaded
+    if _cache_loaded:
+        return
+    _cache_loaded = True
+    from .matrix_cache import load_persistent_cache
+
+    load_persistent_cache()
+
+
 def lookup_camera_matrices(model: Optional[str]) -> Optional[List[MatXyzToCamera]]:
     if model is None:
         return None
+    _ensure_persistent_cache()
     mats = _REGISTRY.get(model.strip())
     if mats is None:
         mats = _REGISTRY.get(_norm_model(model))
@@ -243,7 +261,11 @@ def resolve_camera_matrices(model: Optional[str]) -> List[MatXyzToCamera]:
 
 
 def harvest_camera_matrices_from_dng(
-    source, model: Optional[str] = None, register: bool = True
+    source,
+    model: Optional[str] = None,
+    register: bool = True,
+    persist: bool = True,
+    source_name: Optional[str] = None,
 ) -> Tuple[str, List[MatXyzToCamera]]:
     """Pull REAL calibration matrices out of a DNG and register them for the body.
 
@@ -254,8 +276,11 @@ def harvest_camera_matrices_from_dng(
     DNG's EXIF Model string (or ``model``), so subsequent native-format loads
     (CR2/NEF/ARW/...) of the same body get Adobe data instead of the estimate.
 
-    Returns ``(model, mats)``. Raises ValueError if the file carries no color
-    matrices or no model name.
+    ``persist=True`` (default) also merges the rows into the on-disk cache
+    (io/matrix_cache.py), so the upgrade survives the process; the
+    estimate-vs-real deltas are logged and stored as the estimator's evidence
+    stream. Returns ``(model, mats)``. Raises ValueError if the file carries no
+    color matrices or no model name.
     """
     from . import tiff as T
     from .metadata import exif_get_color_mat_sources
@@ -275,12 +300,78 @@ def harvest_camera_matrices_from_dng(
         model = model_tag.as_bytes().split(b"\x00")[0].decode("ascii", "replace")
     model = model.strip()
     if register:
+        _ensure_persistent_cache()  # load before overwrite: newest harvest wins
         register_camera_matrices(model, mats)
         # native loaders normalize the model string before lookup; keep the
         # normalized alias in lockstep (assignment, not setdefault — a
         # re-harvest with corrected data must replace BOTH entries)
         _REGISTRY[_norm_model(model)] = list(mats)
+    if persist:
+        from .matrix_cache import persist_harvest
+
+        persist_harvest(model, mats, source_name=source_name)
     return model, mats
+
+
+# Auto-harvest on DNG load: opt out with PYSP_TPU_NO_AUTOHARVEST=1 or by
+# flipping this flag.
+AUTOHARVEST: bool = True
+
+
+def autoharvest_from_tiff(tf, mats, source_name: Optional[str] = None) -> bool:
+    """Harvest + persist a parsed DNG's calibration rows as a load side effect.
+
+    Called by ``load_raw_dng`` with the already-parsed TiffFile and matrix list
+    (no re-read, no re-decode). Only dual-illuminant data is worth keeping — a
+    single matrix would *disable* the registry's estimated two-row blend — and
+    a body whose registry entry already matches is skipped so repeated loads
+    never touch the disk. Never raises: a harvest problem must not break a load.
+    """
+    import os as _os
+
+    if not AUTOHARVEST or _os.environ.get("PYSP_TPU_NO_AUTOHARVEST"):
+        return False
+    try:
+        if len(mats) < 2:
+            return False
+        from . import tiff as T
+
+        model_tag = tf.ifds[0].get(T.TAG_MODEL) if tf.ifds else None
+        if model_tag is None:
+            return False
+        model = (
+            model_tag.as_bytes().split(b"\x00")[0].decode("ascii", "replace").strip()
+        )
+        if not model:
+            return False
+        _ensure_persistent_cache()
+        current = _REGISTRY.get(model) or _REGISTRY.get(_norm_model(model))
+        if current is not None and len(current) == len(mats):
+            same = all(
+                np.allclose(a.mat, b.mat)
+                and np.allclose(a.xyz, b.xyz)
+                and a.series == b.series
+                for a, b in zip(current, mats)
+            )
+            if same:
+                return False
+        harvested = [
+            MatXyzToCamera(m.mat, m.xyz, m.series, provenance="harvested")
+            for m in mats
+        ]
+        register_camera_matrices(model, harvested)
+        _REGISTRY[_norm_model(model)] = list(harvested)
+        from .matrix_cache import persist_harvest
+
+        persist_harvest(model, harvested, source_name=source_name)
+        return True
+    except Exception:  # never break a decode over a cache problem
+        import logging
+
+        logging.getLogger("pysp_tpu.matrix_cache").warning(
+            "auto-harvest failed", exc_info=True
+        )
+        return False
 
 
 def generic_matrices() -> List[MatXyzToCamera]:

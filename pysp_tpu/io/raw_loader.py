@@ -169,6 +169,16 @@ def load_raw_dng(source: Source, apply_gain_opcodes: bool = True) -> RawFrame:
             "EXIF ColorMatrix tags or illuminant tags missing, could not create "
             "white balance controller!"
         )
+    # first-contact upgrade: any dual-illuminant DNG donates its body's REAL
+    # calibration rows to the persistent registry, so native-format loads
+    # (CR2/NEF/...) of the same body stop using estimated StdA matrices
+    # (io/camera_matrices.py; reference analog: libraw serves real per-body
+    # data for every file, /root/reference/image.py:224)
+    from .camera_matrices import autoharvest_from_tiff
+
+    autoharvest_from_tiff(
+        tf, mats, source_name=source if isinstance(source, str) else None
+    )
     neutral = exif_get_as_shot_neutral(tf)
     cam_wb = CameraWhiteBalanceController(mats, neutral)
 

@@ -6,6 +6,14 @@ any backend is initialized. All tests run on CPU (fast, deterministic); multi-de
 sharding tests use the 8 virtual devices. Benchmarks (bench.py) run on the real TPU.
 """
 import os
+import tempfile
+
+# isolate the persistent matrix-harvest cache (io/matrix_cache.py): tests load
+# hundreds of synthetic dual-illuminant DNGs, and the auto-harvest side effect
+# must never touch the user's real ~/.cache registry
+os.environ["PYSP_TPU_MATRIX_CACHE"] = os.path.join(
+    tempfile.mkdtemp(prefix="pysp_matcache_"), "harvested_matrices.json"
+)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
