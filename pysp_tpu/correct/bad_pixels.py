@@ -48,22 +48,55 @@ def find_erroneous_pixels_threshold(
 
 
 def find_erroneous_pixels_median(
-    frame: RawFrame, multiplier: float = 1.5, quantile: float = 0.9999
+    frame: RawFrame,
+    multiplier: float = 1.5,
+    quantile: float = 0.9999,
+    axis_name=None,
+    core_rows=None,
 ) -> Array:
     """Hot-pixel masks via delta against a 2x2 median, noise-floor subtracted,
-    thresholded at the given quantile (raw_bad_pixel_corr.py:67-93)."""
+    thresholded at the given quantile (raw_bad_pixel_corr.py:67-93).
+
+    Spatial sharding (``axis_name`` + ``core_rows``): when the frame is a
+    halo-extended row shard, the noise floor and the quantile must still be
+    the GLOBAL statistics or the threshold scalar would differ per shard.
+    ``core_rows`` restricts the reductions to the shard's own sensor rows
+    [lo, hi) (excluding exchanged halo rows, which would double-count) and
+    ``axis_name`` psums the count-multisection ranks / pmeans the noise floor
+    across shards — exact global semantics, masks still returned for the full
+    extended block so healing can run locally."""
     planes = bayer_to_planes(frame.bayer)
 
     blur = median2(planes)
     delta = jnp.abs(planes - blur)
-    noise_floor = jnp.mean(delta, axis=(-2, -1), keepdims=True)
-    delta = jnp.abs(delta - noise_floor)
+    core = (
+        delta
+        if core_rows is None
+        else delta[..., core_rows[0] // 2 : core_rows[1] // 2, :]
+    )
+    noise_floor = jnp.mean(core, axis=(-2, -1), keepdims=True)
+    if axis_name is not None:
+        from jax import lax
 
-    strong = _bisect_quantile(delta, quantile).reshape(4, 1, 1) * multiplier
+        # equal-size shards: global mean == mean of shard means
+        noise_floor = lax.pmean(noise_floor, axis_name)
+    delta = jnp.abs(delta - noise_floor)
+    core = (
+        delta
+        if core_rows is None
+        else delta[..., core_rows[0] // 2 : core_rows[1] // 2, :]
+    )
+
+    strong = (
+        _bisect_quantile(core, quantile, axis_name=axis_name).reshape(4, 1, 1)
+        * multiplier
+    )
     return delta > strong
 
 
-def _bisect_quantile(delta, q: float, iters: int = 4, branches: int = 16):
+def _bisect_quantile(
+    delta, q: float, iters: int = 4, branches: int = 16, axis_name=None
+):
     """Per-plane upper-order-statistic quantile via count multisection.
 
     jnp.quantile sorts (~160 ms for 24 MP on TPU v5e); thresholding only needs the
@@ -74,13 +107,23 @@ def _bisect_quantile(delta, q: float, iters: int = 4, branches: int = 16):
     of 16-way resolve to ~1e-5 of the value range, where the old 30 binary passes
     (30 full reads) were 2^30 overkill. Differs from numpy's linearly-interpolated
     quantile by at most the gap between two adjacent order statistics — harmless
-    under the detector's x1.5 multiplier (DIVERGENCES.md)."""
+    under the detector's x1.5 multiplier (DIVERGENCES.md).
+
+    With ``axis_name`` the counts/extrema are collective (psum/pmin/pmax), so
+    row shards of one frame compute the frame's EXACT global quantile: counting
+    rank is associative where sorting is not — the reason this formulation
+    shards for free."""
     import jax
+    from jax import lax
 
     n = delta.shape[-2] * delta.shape[-1]
-    target = q * (n - 1)
     lo = jnp.min(delta, axis=(-2, -1))
     hi = jnp.max(delta, axis=(-2, -1))
+    if axis_name is not None:
+        n = n * lax.psum(1, axis_name)
+        lo = lax.pmin(lo, axis_name)
+        hi = lax.pmax(hi, axis_name)
+    target = q * (n - 1)
     fr = (jnp.arange(1, branches + 1, dtype=delta.dtype) / (branches + 1))
 
     def body(_, carry):
@@ -91,6 +134,8 @@ def _bisect_quantile(delta, q: float, iters: int = 4, branches: int = 16):
             (delta[:, None] <= mids[:, :, None, None]).astype(jnp.float32),
             axis=(-2, -1),
         )
+        if axis_name is not None:
+            cnt = lax.psum(cnt, axis_name)
         ok = (cnt - 1.0) >= target  # mid already reaches the target rank
         new_hi = jnp.min(jnp.where(ok, mids, hi[:, None]), axis=1)
         new_lo = jnp.max(jnp.where(ok, lo[:, None], mids), axis=1)

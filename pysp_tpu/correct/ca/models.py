@@ -63,18 +63,38 @@ class CaCorrectionModel(ABC):
         points to their distorted locations (generic.py:57-101)."""
         return self._coordinates(image, self.get_distorted)
 
-    def _coordinates(self, image: Array, radial_fn) -> Array:
-        h, w = image.shape[-2], image.shape[-1]
-        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-        r = radius_field((h, w))
+    def get_distorted_coordinates_window(
+        self, n_rows: int, row0, full_shape: Tuple[int, int]
+    ) -> Array:
+        """Forward offsets for output rows [row0, row0+n_rows) of a FULL frame.
 
-        ys = (jnp.arange(h, dtype=jnp.float32) - cy)[:, None]
+        Same values as ``get_distorted_coordinates(full_image)[row0:row0+n_rows]``
+        but computed directly at the absolute rows — the spatial row-sharding
+        primitive (each shard builds only its own window of the coordinate
+        field; ``row0`` may be a traced scalar such as a shard index)."""
+        return self._coordinates_window(
+            n_rows, row0, full_shape, self.get_distorted
+        )
+
+    def _coordinates_window(
+        self, n_rows: int, row0, full_shape: Tuple[int, int], radial_fn
+    ) -> Array:
+        h, w = full_shape
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        r_corner = float(np.hypot(cy, cx))
+
+        ys = (jnp.arange(n_rows, dtype=jnp.float32) + row0 - cy)[:, None]
         xs = (jnp.arange(w, dtype=jnp.float32) - cx)[None, :]
+        r = jnp.sqrt(ys * ys + xs * xs) / r_corner
 
         scale = radial_fn(r) / r  # never 0/0: min radius is 0.5px for even dims
-        dy = jnp.broadcast_to(ys, (h, w)) * scale
-        dx = jnp.broadcast_to(xs, (h, w)) * scale
+        dy = jnp.broadcast_to(ys, (n_rows, w)) * scale
+        dx = jnp.broadcast_to(xs, (n_rows, w)) * scale
         return jnp.stack([dy, dx], axis=-1)
+
+    def _coordinates(self, image: Array, radial_fn) -> Array:
+        h, w = image.shape[-2], image.shape[-1]
+        return self._coordinates_window(h, 0, (h, w), radial_fn)
 
 
 class ReversibleModelMixin(ABC):
@@ -90,6 +110,15 @@ class ReversibleModelMixin(ABC):
         """(H, W, 2) offsets mapping distorted sampling points to undistorted
         locations (generic.py:110-159)."""
         return self._coordinates(image, self.estimate_undistorted)
+
+    def get_undistorted_coordinates_window(
+        self, n_rows: int, row0, full_shape: Tuple[int, int]
+    ) -> Array:
+        """Inverse offsets for output rows [row0, row0+n_rows) of a FULL frame
+        (see get_distorted_coordinates_window)."""
+        return self._coordinates_window(
+            n_rows, row0, full_shape, self.estimate_undistorted
+        )
 
 
 class NewtonRaphsonModel(CaCorrectionModel, ReversibleModelMixin):

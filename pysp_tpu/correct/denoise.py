@@ -56,7 +56,9 @@ def _b3_smooth(x: Array, dilation: int) -> Array:
     return pass1(pass1(x, 0), 1)
 
 
-def _denoise_plane(plane: Array, strength: float, levels: int) -> Array:
+def _denoise_plane(
+    plane: Array, strength: float, levels: int, axis_name=None, core_rows=None
+) -> Array:
     smooth = plane
     details = []
     for lvl in range(levels):
@@ -65,8 +67,17 @@ def _denoise_plane(plane: Array, strength: float, levels: int) -> Array:
         smooth = nxt
 
     # noise scale from the finest band: sigma_0 = E|d0| * sqrt(pi/2); divide
-    # out the band's own gain to get the input-referred sigma
-    sigma = jnp.mean(jnp.abs(details[0])) * math.sqrt(math.pi / 2.0)
+    # out the band's own gain to get the input-referred sigma. Under spatial
+    # sharding the estimate must stay GLOBAL (pmean across equal row shards,
+    # halo rows excluded) or shards would shrink with different thresholds.
+    d0 = jnp.abs(details[0])
+    if core_rows is not None:
+        d0 = d0[core_rows[0] : core_rows[1]]
+    sigma = jnp.mean(d0) * math.sqrt(math.pi / 2.0)
+    if axis_name is not None:
+        from jax import lax
+
+        sigma = lax.pmean(sigma, axis_name)
     sigma = sigma / _LEVEL_SIGMA[0]
 
     out = smooth
@@ -77,7 +88,11 @@ def _denoise_plane(plane: Array, strength: float, levels: int) -> Array:
 
 
 def denoise_bayer_wavelet(
-    frame: RawFrame, strength: float = 1.0, levels: int = 3
+    frame: RawFrame,
+    strength: float = 1.0,
+    levels: int = 3,
+    axis_name=None,
+    core_rows=None,
 ) -> RawFrame:
     """Edge-preserving Bayer-domain NR on the CFA phase planes.
 
@@ -87,8 +102,10 @@ def denoise_bayer_wavelet(
     if strength <= 0.0 or levels <= 0:
         return frame
     r, g1, b, g2 = bayer_to_rgbg(frame.bayer)
+    cr = None if core_rows is None else (core_rows[0] // 2, core_rows[1] // 2)
     planes = [
-        _denoise_plane(p, float(strength), int(levels)) for p in (r, g1, b, g2)
+        _denoise_plane(p, float(strength), int(levels), axis_name, cr)
+        for p in (r, g1, b, g2)
     ]
     out = rgbg_to_bayer(planes[0], planes[1], planes[2], planes[3])
     return frame.replace(bayer=jnp.clip(out, 0.0, None).astype(frame.bayer.dtype))

@@ -16,7 +16,11 @@ Array = jnp.ndarray
 
 
 def flat_frame_correction(
-    frame: RawFrame, flat: RawFrame, clamp_high: bool = False
+    frame: RawFrame,
+    flat: RawFrame,
+    clamp_high: bool = False,
+    axis_name=None,
+    core_rows=None,
 ) -> RawFrame:
     """Per-plane flat division; returns a corrected frame (raw_correction.py:25-63).
 
@@ -27,21 +31,30 @@ def flat_frame_correction(
     previous plane-stack formulation paid two full CFA (de)interleave relayouts
     (~4 ms of pure data movement at 24 MP); the elementwise math is identical and
     the per-plane reductions differ only by association order (ulps).
+
+    Spatial sharding: with ``axis_name``, the per-plane flat statistics reduce
+    collectively across equal-size row shards (``core_rows`` excludes exchanged
+    halo rows from the reductions so overlaps don't double-count) — the scale
+    factor stays the GLOBAL flat mean.
     """
     import jax
+    from jax import lax
 
     bayer, flat_b = frame.bayer, flat.bayer
     h_par = (jnp.arange(bayer.shape[-2]) % 2)[:, None]
     w_par = (jnp.arange(bayer.shape[-1]) % 2)[None, :]
 
-    def _per_phase(x, red):
+    def _per_phase(x, red, collective=None):
         # Per-CFA-phase reduction, phase-selected back to mosaic broadcast shape.
         # The dimension-split reshape is free (no data movement) and the reduce
         # reads x once; stride-2 slicing here lowered to ~10 ns/px gathers
         # (the BASELINE.md gather wall — measured 252 ms for this op at 24 MP).
-        h2, w2 = x.shape[-2] // 2, x.shape[-1] // 2
-        q = x.reshape(*x.shape[:-2], h2, 2, w2, 2)
+        xr = x if core_rows is None else x[..., core_rows[0] : core_rows[1], :]
+        h2, w2 = xr.shape[-2] // 2, xr.shape[-1] // 2
+        q = xr.reshape(*xr.shape[:-2], h2, 2, w2, 2)
         v = red(q)  # (..., 2, 2) phase scalars
+        if axis_name is not None and collective is not None:
+            v = collective(v, axis_name)
         vals = [[v[..., i : i + 1, j : j + 1] for j in (0, 1)] for i in (0, 1)]
         return jnp.where(
             h_par == 0,
@@ -52,7 +65,7 @@ def flat_frame_correction(
     def _mean(q):
         return jnp.mean(q, axis=(-4, -2))
 
-    mean_map = _per_phase(flat_b, _mean)
+    mean_map = _per_phase(flat_b, _mean, collective=lax.pmean)
 
     def _fast(bayer, flat_b, mean_map):
         # All-positive flat: the division is finite everywhere, so the
@@ -69,9 +82,15 @@ def flat_frame_correction(
         finite = jnp.isfinite(out)
         neg_inf = jnp.where(finite, out, -jnp.inf)
         # inf -> per-plane max of the finite values
-        max_map = _per_phase(neg_inf, lambda q: jnp.max(q, axis=(-4, -2)))
+        max_map = _per_phase(
+            neg_inf, lambda q: jnp.max(q, axis=(-4, -2)), collective=lax.pmax
+        )
         # All-infinite plane (completely black flat): leave the channel untouched
-        any_map = _per_phase(finite, lambda q: jnp.any(q, axis=(-4, -2)))
+        any_map = _per_phase(
+            finite,
+            lambda q: jnp.any(q, axis=(-4, -2)),
+            collective=lambda v, ax: lax.pmax(v.astype(jnp.int32), ax) > 0,
+        )
 
         out = jnp.where(finite, out, max_map)
         out = jnp.maximum(out, 0.0)
@@ -79,9 +98,12 @@ def flat_frame_correction(
             out = jnp.minimum(out, 1.0)
         return jnp.where(any_map, out, bayer)
 
-    out = jax.lax.cond(
-        jnp.all(flat_b > 0), _fast, _general, bayer, flat_b, mean_map
-    )
+    all_pos = jnp.all(flat_b > 0)
+    if axis_name is not None:
+        # the branch choice must be device-invariant: _general runs collectives,
+        # so shards disagreeing on the predicate would deadlock inside cond
+        all_pos = lax.pmin(all_pos.astype(jnp.int32), axis_name) > 0
+    out = jax.lax.cond(all_pos, _fast, _general, bayer, flat_b, mean_map)
     return frame.replace(bayer=out)
 
 

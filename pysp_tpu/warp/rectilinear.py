@@ -80,6 +80,34 @@ def compute_remapping_table(
     )
 
 
+def compute_remapping_table_window(
+    coeffs,
+    width: int,
+    height: int,
+    cam_center_norm: Tuple[float, float],
+    scale: float,
+    row0,
+    n_rows: int,
+) -> Tuple[Array, Array]:
+    """Warp tables for output rows [row0, row0+n_rows) of a FULL frame.
+
+    Same values as ``compute_remapping_table(...)[row0:row0+n_rows]`` but built
+    directly at the absolute rows (``row0`` may be a traced scalar) — the
+    spatial row-sharding primitive: geometry (center, corner normalization)
+    stays that of the full ``height`` x ``width`` frame, so per-shard maps
+    re-base by integer row offsets exactly.
+    """
+    cx, cy, m = _geometry(width, height, cam_center_norm)
+    ys = (jnp.arange(n_rows, dtype=jnp.float32) + row0)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    seed_x = jnp.broadcast_to(xs, (n_rows, width))
+    seed_y = jnp.broadcast_to(ys, (n_rows, width))
+    return _warp_coords(
+        seed_x, seed_y, jnp.asarray(coeffs, jnp.float32),
+        jnp.float32(m), jnp.float32(cx), jnp.float32(cy), scale,
+    )
+
+
 def compute_offset_remapping_table(
     seed_x: Array,
     seed_y: Array,
