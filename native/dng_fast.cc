@@ -14,6 +14,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC, no external deps)
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -357,6 +358,57 @@ int dng_ljpeg_decode(const uint8_t* data, int64_t size, uint16_t* out,
     pos += 4 + body;
   }
   return -12;
+}
+
+// Decode n_tiles independent lossless-JPEG tile/strip blobs IN PARALLEL and
+// assemble them into a (height, width) uint16 mosaic. `offsets`/`counts` index
+// into `data` (the whole file); tiles are row-major tile_h x tile_w windows
+// (strip organization = tile_w == width). Each tile is decoded by the exact
+// same dng_ljpeg_decode above into a scratch buffer and copied into its
+// window, so the output is byte-identical to the serial per-tile loop — the
+// threads only exploit the independence of the entropy streams (the same
+// parallelism the reference gets from OpenMP, /root/reference/setup.py:9-19).
+// Returns 0, or the first failing tile's negative code.
+int dng_ljpeg_decode_tiles(const uint8_t* data, int64_t size,
+                           const int64_t* offsets, const int64_t* counts,
+                           int32_t n_tiles, uint16_t* out, int32_t height,
+                           int32_t width, int32_t tile_h, int32_t tile_w) {
+  if (n_tiles <= 0 || tile_h <= 0 || tile_w <= 0 || height <= 0 || width <= 0)
+    return -90;
+  int64_t tiles_x = (width + tile_w - 1) / tile_w;
+  if (tiles_x < 1) tiles_x = 1;
+  std::atomic<int> err{0};
+  parallel_rows(n_tiles, [&](int64_t lo, int64_t hi) {
+    // scratch sized for a full tile; multi-component scans span NC adjacent
+    // columns per sample, which still totals tile_h*tile_w mosaic values
+    std::vector<uint16_t> scratch(static_cast<int64_t>(tile_h) * tile_w);
+    for (int64_t idx = lo; idx < hi; ++idx) {
+      int64_t o = offsets[idx], c = counts[idx];
+      if (o < 0 || c < 0 || o + c > size) {
+        err.store(-91);
+        return;
+      }
+      int32_t dims[3] = {0, 0, 0};
+      int rc = dng_ljpeg_decode(data + o, c, scratch.data(),
+                                static_cast<int64_t>(scratch.size()), dims);
+      if (rc != 0) {
+        err.store(rc);
+        return;
+      }
+      int64_t ph = dims[0];
+      int64_t pw = static_cast<int64_t>(dims[1]) * dims[2];
+      int64_t ty = idx / tiles_x, tx = idx % tiles_x;
+      int64_t y0 = ty * tile_h, x0 = tx * tile_w;
+      if (y0 >= height || x0 >= width) continue;  // excess tiles: ignore
+      int64_t h_eff = std::min<int64_t>({tile_h, height - y0, ph});
+      int64_t w_eff = std::min<int64_t>({tile_w, width - x0, pw});
+      for (int64_t y = 0; y < h_eff; ++y) {
+        std::memcpy(out + (y0 + y) * width + x0, scratch.data() + y * pw,
+                    w_eff * sizeof(uint16_t));
+      }
+    }
+  });
+  return err.load();
 }
 
 // Encode rows (height*width*n_comp uint16, interleaved) as lossless JPEG SOF3 with

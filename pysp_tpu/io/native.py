@@ -46,6 +46,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    if hasattr(lib, "dng_ljpeg_decode_tiles"):
+        lib.dng_ljpeg_decode_tiles.restype = ctypes.c_int
+        lib.dng_ljpeg_decode_tiles.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
     lib.dng_ljpeg_encode.restype = ctypes.c_int64
     lib.dng_ljpeg_encode.argtypes = [
         ctypes.POINTER(ctypes.c_uint16),
@@ -206,6 +220,50 @@ def ljpeg_decode(blob: bytes, max_pixels: int = 1 << 28) -> np.ndarray:
     h, w, c = dims[0], dims[1], dims[2]
     arr = out[: h * w * c].reshape(h, w, c).copy()
     return arr[..., 0] if c == 1 else arr
+
+
+def has_ljpeg_tiles() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dng_ljpeg_decode_tiles")
+
+
+def ljpeg_decode_tiles(
+    data: bytes,
+    offsets,
+    counts,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+) -> np.ndarray:
+    """Decode independent LJ92 tiles/strips ACROSS HOST THREADS in one call.
+
+    One ctypes crossing for the whole mosaic; the native side decodes every
+    tile in parallel (std::thread — the reference's own native kernels are
+    OpenMP-parallel, /root/reference/setup.py:9-19) and assembles windows.
+    Byte-identical to the serial per-tile loop (gated in tests/test_io.py).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "dng_ljpeg_decode_tiles"):
+        raise RuntimeError("dng_ljpeg_decode_tiles needs a rebuilt libdng_fast.so")
+    offs = np.ascontiguousarray(offsets, np.int64)
+    cnts = np.ascontiguousarray(counts, np.int64)
+    out = np.zeros((height, width), np.uint16)
+    rc = lib.dng_ljpeg_decode_tiles(
+        data,
+        len(data),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cnts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        height,
+        width,
+        tile_h,
+        tile_w,
+    )
+    if rc != 0:
+        raise ValueError(f"lossless JPEG tile decode failed (code {rc})")
+    return out
 
 
 def ljpeg_encode(img: np.ndarray, precision: int = 16) -> bytes:

@@ -277,6 +277,14 @@ class TiffFile:
                 raise ValueError(
                     "Lossless-JPEG DNG needs the native decoder: make -C native"
                 )
+            if len(offsets) > 1 and native.has_ljpeg_tiles():
+                # independent entropy streams -> host-thread-parallel decode in
+                # ONE native call (byte-identical to the loop below, which
+                # remains as the single-stream / old-library path)
+                return native.ljpeg_decode_tiles(
+                    bytes(self.data), offsets, counts, height, width,
+                    tile_h, tile_w,
+                )
             out = np.zeros((height, width), np.uint16)
             tiles_x = max(1, -(-width // tile_w))
             for idx, (o, c) in enumerate(zip(offsets, counts)):

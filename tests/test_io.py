@@ -155,6 +155,95 @@ def test_ljpeg_compressed_dng():
     np.testing.assert_allclose(np.asarray(f_c.bayer), np.asarray(f_u.bayer))
 
 
+def test_ljpeg_threaded_tile_decode_parity():
+    """dng_ljpeg_decode_tiles (host-thread-parallel, one native call) is
+    byte-identical to the serial per-tile loop — tiles, edge-truncated tiles,
+    and 2-component scans (VERDICT r4 item 5)."""
+    import pytest
+
+    from pysp_tpu.io import native
+
+    if not native.available() or not native.has_ljpeg_tiles():
+        pytest.skip("rebuilt libdng_fast.so needed")
+
+    h, w, th, tw = 40, 40, 16, 24  # tiles_x=2, last column truncated, last row too
+    bayer = make_bayer_u16(h, w, seed=51)
+    tiles_x = -(-w // tw)
+    tiles_y = -(-h // th)
+    data = b"\x00" * 13  # arbitrary prefix: offsets must be honored
+    offsets, counts = [], []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = np.zeros((th, tw), np.uint16)
+            ys, xs = (
+                min(th, h - ty * th),
+                min(tw, w - tx * tw),
+            )
+            tile[:ys, :xs] = bayer[ty * th : ty * th + ys, tx * tw : tx * tw + xs]
+            # encode as a 2-component scan (the common DNG CFA layout): the
+            # decoder's pw = W * NC column spanning must land identically
+            enc = native.ljpeg_encode(tile.reshape(th, tw // 2, 2))
+            offsets.append(len(data))
+            counts.append(len(enc))
+            data += enc
+    got = native.ljpeg_decode_tiles(data, offsets, counts, h, w, th, tw)
+
+    # serial oracle: the same per-tile loop read_strips runs
+    want = np.zeros((h, w), np.uint16)
+    for idx, (o, c) in enumerate(zip(offsets, counts)):
+        piece = native.ljpeg_decode(data[o : o + c])
+        if piece.ndim == 3:
+            ph, pw, pc = piece.shape
+            piece = piece.reshape(ph, pw * pc)
+        ty, tx = divmod(idx, tiles_x)
+        y0, x0 = ty * th, tx * tw
+        ys, xs = min(th, h - y0), min(tw, w - x0)
+        want[y0 : y0 + ys, x0 : x0 + xs] = piece[:ys, :xs]
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, bayer)
+
+
+def test_ljpeg_multi_strip_threaded_matches_serial(monkeypatch):
+    """read_strips takes the threaded path for multi-strip LJ92 and matches
+    the serial path bit-for-bit through the whole TiffFile surface."""
+    import pytest
+
+    from pysp_tpu.io import native
+
+    if not native.available() or not native.has_ljpeg_tiles():
+        pytest.skip("rebuilt libdng_fast.so needed")
+
+    h, w, rps = 64, 48, 16
+    bayer = make_bayer_u16(h, w, seed=52)
+    blob = T.write_synthetic_dng(bayer, compression=7)
+    tf = T.read_tiff(blob)
+    raw = tf.find_raw_ifd()
+
+    data = bytes(tf.data)
+    offsets, counts = [], []
+    for i in range(h // rps):
+        enc = native.ljpeg_encode(bayer[i * rps : (i + 1) * rps])
+        offsets.append(len(data))
+        counts.append(len(enc))
+        data += enc
+    tf.data = data
+    raw.tags[T.TAG_STRIP_OFFSETS] = T.TiffTag(
+        T.TAG_STRIP_OFFSETS, T.TYPE_LONG, len(offsets), offsets
+    )
+    raw.tags[T.TAG_STRIP_BYTE_COUNTS] = T.TiffTag(
+        T.TAG_STRIP_BYTE_COUNTS, T.TYPE_LONG, len(counts), counts
+    )
+    raw.tags[T.TAG_ROWS_PER_STRIP] = T.TiffTag(
+        T.TAG_ROWS_PER_STRIP, T.TYPE_LONG, 1, [rps]
+    )
+
+    got_threaded = tf.read_strips(raw)
+    monkeypatch.setattr(native, "has_ljpeg_tiles", lambda: False)
+    got_serial = tf.read_strips(raw)
+    np.testing.assert_array_equal(got_threaded, got_serial)
+    np.testing.assert_array_equal(got_threaded, bayer)
+
+
 def test_native_ljpeg_roundtrip_edge_cases():
     from pysp_tpu.io import native
 
