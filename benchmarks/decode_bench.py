@@ -87,6 +87,30 @@ def main(h=4000, w=6048, quick=False):
             f"{fmp/dt:7.1f} MP/s  ({len(blob)/1e6:.1f} MB file)"
         )
 
+    # threads axis (VERDICT r4 item 5): multi-strip LJ92 decodes its
+    # independent entropy streams across host threads (DNG_FAST_THREADS pins
+    # the pool). On a 1-core box expect a wash; the capability is for real
+    # multi-core hosts.
+    import os
+
+    from pysp_tpu.io import native
+    from pysp_tpu.io import tiff as T
+
+    if native.has_ljpeg_tiles():
+        rps = max(64, (h // 16) & ~1)
+        blob_ms = write_synthetic_dng(base, compression=7, rows_per_strip=rps)
+        n_strips = -(-h // rps)
+        for nt in (1, 2, 4, 8, 0):  # 0 = hardware concurrency
+            os.environ["DNG_FAST_THREADS"] = str(nt) if nt else ""
+            tf = T.read_tiff(blob_ms)
+            dt = _time(lambda: tf.read_strips(tf.find_raw_ifd()))
+            label = str(nt) if nt else f"hw({os.cpu_count()})"
+            print(
+                f"[decode_bench] DNG(LJ92) {n_strips}-strip threads={label}: "
+                f"{dt*1e3:7.1f} ms = {mp/dt:7.1f} MP/s"
+            )
+        os.environ.pop("DNG_FAST_THREADS", None)
+
 
 if __name__ == "__main__":
     import sys

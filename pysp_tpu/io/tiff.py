@@ -424,9 +424,10 @@ class TiffWriter:
         """Assemble the file. Tag dicts map tag -> (dtype, values).
 
         If ``strip_data`` is given, StripOffsets/ByteCounts are patched into the raw
-        IFD (the SubIFD when ``strip_in_sub``). RowsPerStrip must already be set by
-        the caller via ImageLength (single strip). ``magic`` defaults to classic
-        TIFF (42); Panasonic RW2 fixtures pass 0x55.
+        IFD (the SubIFD when ``strip_in_sub``). A list of byte strings emits a
+        MULTI-STRIP organization (one offset/count per piece; the caller sets
+        RowsPerStrip); a single bytes object stays single-strip. ``magic``
+        defaults to classic TIFF (42); Panasonic RW2 fixtures pass 0x55.
         """
         # Layout: header(8) | IFD0 | SubIFD | ExifIFD | heap (out-of-line values + strip)
         out = BytesIO()
@@ -440,9 +441,15 @@ class TiffWriter:
         exif = dict(exif_tags) if exif_tags is not None else None
 
         raw_ifd = sub if (strip_in_sub and sub is not None) else ifd0
+        pieces = None
         if strip_data is not None:
-            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, [0])  # patched below
-            raw_ifd[TAG_STRIP_BYTE_COUNTS] = (TYPE_LONG, [len(strip_data)])
+            pieces = (
+                list(strip_data)
+                if isinstance(strip_data, (list, tuple))
+                else [strip_data]
+            )
+            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, [0] * len(pieces))  # patched below
+            raw_ifd[TAG_STRIP_BYTE_COUNTS] = (TYPE_LONG, [len(p) for p in pieces])
 
         # Pointer tags must exist before sizing the IFDs
         if sub is not None:
@@ -494,11 +501,16 @@ class TiffWriter:
             return b"".join(blobs)
 
         body = assemble()
-        if strip_data is not None:
-            strip_off = heap_start + heap.tell()
-            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, [strip_off])
-            body = assemble()  # heap identical; only the inline offset changed
-            heap.write(strip_data)
+        if pieces is not None:
+            base = heap_start + heap.tell()
+            offs, cur = [], base
+            for p in pieces:
+                offs.append(cur)
+                cur += len(p)
+            raw_ifd[TAG_STRIP_OFFSETS] = (TYPE_LONG, offs)
+            body = assemble()  # heap identical size; only offsets changed
+            for p in pieces:
+                heap.write(p)
 
         out.write(body)
         out.write(heap.getvalue())
@@ -529,6 +541,7 @@ def write_synthetic_dng(
     exposure_time: Tuple[int, int] = (1, 100),
     f_number: Tuple[int, int] = (28, 10),
     iso: int = 200,
+    rows_per_strip: Optional[int] = None,
 ) -> bytes:
     """Emit a minimal valid DNG carrying the metadata the pipeline consumes.
 
@@ -602,14 +615,21 @@ def write_synthetic_dng(
         TAG_ISO_SPEED: (TYPE_SHORT, [iso]),
     }
 
-    if compression == 7:
-        from . import native
+    rps = h if rows_per_strip is None else int(rows_per_strip)
+    sub[TAG_ROWS_PER_STRIP] = (TYPE_LONG, [rps])
+    bands = [bayer_u16[y : y + rps] for y in range(0, h, rps)]
 
-        strip = native.ljpeg_encode(bayer_u16.astype(np.uint16), precision=16)
-    elif bits_per_sample == 16:
-        strip = np.ascontiguousarray(bayer_u16.astype("<u2")).tobytes()
-    elif bits_per_sample in (10, 12, 14):
-        strip = _pack_bits(bayer_u16.astype(np.uint16).reshape(-1), bits_per_sample)
-    else:
+    def encode_band(band: np.ndarray) -> bytes:
+        if compression == 7:
+            from . import native
+
+            return native.ljpeg_encode(band.astype(np.uint16), precision=16)
+        if bits_per_sample == 16:
+            return np.ascontiguousarray(band.astype("<u2")).tobytes()
+        if bits_per_sample in (10, 12, 14):
+            return _pack_bits(band.astype(np.uint16).reshape(-1), bits_per_sample)
         raise ValueError(f"Unsupported writer bit depth {bits_per_sample}")
+
+    pieces = [encode_band(b) for b in bands]
+    strip = pieces if len(pieces) > 1 else pieces[0]
     return TiffWriter().write(ifd0, sub, exif, strip_data=strip)
