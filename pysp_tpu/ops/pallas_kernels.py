@@ -1411,3 +1411,188 @@ def remap_bounded_pallas(
         out = out[:, :h]
     out = out.astype(img.dtype)
     return out[0] if squeeze else out
+
+
+# --- Richardson-Lucy deconvolution iteration (banded, blurs in VMEM) --------------------
+def _rl_iter_kernel(
+    est_hbm, img_hbm, out_ref, est_s, img_s, sems, *,
+    tile_h: int, width: int, reach: int, halo: int, taps,
+):
+    """One RL iteration on one row band, both separable blurs in VMEM.
+
+    est/img arrive reflect-padded by 2*reach (rounded to ``halo`` for DMA
+    alignment) on every side; the band computes, in exactly the XLA path's op
+    order (H-pass then V-pass, ascending taps), blur(est) -> ratio ->
+    blur(ratio) -> est*factor. Out-of-frame ratio values are replaced by
+    in-band SYMMETRIC mirrors (filter2d pads the *ratio array*, which is not
+    the same as evaluating the ratio at reflected coordinates), so the output
+    is the XLA iteration's value everywhere including the global borders.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tile_h + 2 * halo
+    r = reach
+
+    def band(src, dst, j, slot, k):
+        return pltpu.make_async_copy(
+            src.at[pl.ds(j * tile_h, rows), :], dst.at[slot], sems.at[slot * 2 + k]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        band(est_hbm, est_s, 0, 0, 0).start()
+        band(img_hbm, img_s, 0, 0, 1).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        band(est_hbm, est_s, i + 1, (i + 1) % 2, 0).start()
+        band(img_hbm, img_s, i + 1, (i + 1) % 2, 1).start()
+
+    band(est_hbm, est_s, i, i % 2, 0).wait()
+    band(img_hbm, img_s, i, i % 2, 1).wait()
+    est = est_s[i % 2]
+    img = img_s[i % 2]
+
+    # layout: frame row f of this band sits at local row f - r0 + halo,
+    # frame col f at local col f + 2*reach (host column pad)
+    base = halo
+
+    def hpass(x, ncols):
+        # taps ascending, multiply-then-add, like stencil._conv_valid
+        acc = None
+        for k, wk in enumerate(taps):
+            term = x[:, k : k + ncols] * jnp.float32(wk)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def vpass(x, r0, nrows):
+        acc = None
+        for k, wk in enumerate(taps):
+            term = x[r0 + k : r0 + k + nrows, :] * jnp.float32(wk)
+            acc = term if acc is None else acc + term
+        return acc
+
+    # blur(est) at frame rows [r0-r, r1+r), cols [-r, W+r)
+    h1 = hpass(est[base - 2 * r : base + tile_h + 2 * r], width + 2 * r)
+    blur1 = vpass(h1, 0, tile_h + 2 * r)
+
+    ratio = (
+        img[base - r : base + tile_h + r, r : r + width + 2 * r]
+        / (blur1 + jnp.float32(1e-25))
+    )
+
+    # SYMMETRIC mirrors where the ratio extension leaves the frame: global top/
+    # bottom rows (edge bands only) and left/right columns (every band).
+    # Mosaic has no rev lowering; r is tiny, so flips are reversed-slice concats.
+    nr = ratio.shape[0]
+
+    def flip_rows(x, a, b):
+        return jnp.concatenate(
+            [x[b - 1 - k : b - k] for k in range(b - a)], axis=0
+        )
+
+    def flip_cols(x, a, b):
+        return jnp.concatenate(
+            [x[:, b - 1 - k : b - k] for k in range(b - a)], axis=1
+        )
+
+    top = jnp.where(i == 0, flip_rows(ratio, r, 2 * r), ratio[:r])
+    bottom = jnp.where(
+        i == n - 1, flip_rows(ratio, nr - 2 * r, nr - r), ratio[-r:]
+    )
+    ratio = jnp.concatenate([top, ratio[r:-r], bottom], axis=0)
+    nc = ratio.shape[1]
+    left = flip_cols(ratio, r, 2 * r)
+    right = flip_cols(ratio, nc - 2 * r, nc - r)
+    ratio = jnp.concatenate([left, ratio[:, r:-r], right], axis=1)
+
+    h2 = hpass(ratio, width)
+    factor = vpass(h2, 0, tile_h)
+    out_ref[:] = (
+        est[base : base + tile_h, 2 * r : 2 * r + width] * factor
+    )
+
+
+def rl_deconv_pallas(
+    image: Array,
+    taps,
+    iterations: int,
+    tile_h: int = 0,
+    interpret: bool = False,
+):
+    """Richardson-Lucy with a separable symmetric PSF, one banded Pallas launch
+    per iteration (filters/sharpen.py's hot path).
+
+    The XLA composition materializes ~6 full-frame arrays per iteration (two
+    pad buffers + four conv passes + ratio/mult); here each iteration reads
+    est+img and writes est once, with both blurs' taps running in VMEM —
+    measured 2.2x at 24 MP (BASELINE.md round-5 RL ledger). Returns None when
+    the shape doesn't fit the banding (caller falls back to the XLA loop).
+    Values match the XLA path exactly in op order and border semantics (the
+    ratio-mirror construction in the kernel); parity gated by
+    tests/test_filters.py on interpret mode and CPU goldens.
+    """
+    if image.ndim != 2 or image.dtype != jnp.float32:
+        return None
+    h, w = image.shape
+    taps = [float(t) for t in np.asarray(taps).reshape(-1)]
+    reach = len(taps) // 2
+    if len(taps) < 3 or len(taps) % 2 == 0 or reach > 32:
+        return None
+    halo = _round_up(2 * reach, _ALIGN)
+    if h < 2 * reach or w < 2 * reach:
+        return None
+
+    live = 4 * len(taps) // 2 + 16
+    if tile_h == 0:
+        tile_h = _pick_tile(h, w, live_values=live)
+    if tile_h == 0 or tile_h < 2 * reach or h % tile_h != 0:
+        return None
+
+    wp = _round_up(w + 4 * reach, _LANE)
+
+    def pad_full(x):
+        # SYMMETRIC 2*reach pad (what filter2d's reflect border reads), rows
+        # rounded to the DMA halo, cols to the lane tile
+        p = jnp.pad(x, ((2 * reach, 2 * reach), (2 * reach, 2 * reach)),
+                    mode="symmetric")
+        return jnp.pad(
+            p,
+            ((halo - 2 * reach, halo - 2 * reach), (0, wp - p.shape[1])),
+        )
+
+    kernel = partial(
+        _rl_iter_kernel,
+        tile_h=tile_h,
+        width=w,
+        reach=reach,
+        halo=halo,
+        taps=taps,
+    )
+
+    img_pad = pad_full(image)
+
+    def one_iter(est):
+        return pl.pallas_call(
+            kernel,
+            grid=(h // tile_h,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_h + 2 * halo, wp), jnp.float32),
+                pltpu.VMEM((2, tile_h + 2 * halo, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(pad_full(est), img_pad)
+
+    return jax.lax.fori_loop(
+        0, iterations, lambda _, est: one_iter(est), image
+    )

@@ -97,3 +97,58 @@ def test_rl_variants_shapes_and_finiteness():
         out = np.asarray(fn(rgb, 1.0, iterations=5))
         assert out.shape == rgb.shape
         assert np.all(np.isfinite(out))
+
+
+# ---------------------------------------------------------------------------
+# Banded Pallas RL iteration (ops/pallas_kernels.rl_deconv_pallas, round 5)
+# ---------------------------------------------------------------------------
+def test_rl_deconv_pallas_matches_xla_loop():
+    """Interpret-mode kernel parity with the XLA RL loop, including the
+    global-border rows/cols (the in-kernel ratio mirror construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pysp_tpu.filters.blur import blur_gaussian, get_1d_gaussian_filter
+    from pysp_tpu.ops.pallas_kernels import rl_deconv_pallas
+
+    rng = np.random.default_rng(31)
+    h, w = 48, 160
+    img = jnp.asarray(
+        np.clip(
+            0.4
+            + 0.3 * np.sin(np.arange(w) / 7.0)[None, :]
+            + 0.2 * np.cos(np.arange(h) / 5.0)[:, None]
+            + rng.normal(0, 0.02, (h, w)),
+            0.01,
+            1.0,
+        ),
+        jnp.float32,
+    )
+    for sigma, iters in ((2.0, 3), (1.0, 2)):
+        taps = get_1d_gaussian_filter(sigma)
+
+        def body(_, est):
+            blurred = blur_gaussian(est, sigma)
+            return est * blur_gaussian(img / (blurred + 1e-25), sigma)
+
+        want = np.asarray(jax.lax.fori_loop(0, iters, body, img))
+        got = rl_deconv_pallas(img, taps, iters, tile_h=16, interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-6, rtol=0)
+
+
+def test_rl_deconv_pallas_gates():
+    """Shapes/dtypes the banding can't serve return None (XLA fallback)."""
+    import jax.numpy as jnp
+
+    from pysp_tpu.filters.blur import get_1d_gaussian_filter
+    from pysp_tpu.ops.pallas_kernels import rl_deconv_pallas
+
+    taps = get_1d_gaussian_filter(2.0)
+    assert rl_deconv_pallas(jnp.zeros((8, 8), jnp.float32), taps, 2) is None
+    assert (
+        rl_deconv_pallas(jnp.zeros((48, 64), jnp.bfloat16), taps, 2) is None
+    )
+    assert (
+        rl_deconv_pallas(jnp.zeros((47, 64, 3), jnp.float32), taps, 2) is None
+    )
