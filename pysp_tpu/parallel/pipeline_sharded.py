@@ -21,11 +21,11 @@ production layouts, matching how the work actually decomposes:
   'spatial' — slicing halos from the replicated fused frame, so the develop
   stage needs zero ICI traffic.
 
-Row-sharding the CA+warp stages themselves (halo = displacement bound +
-stencil reach) remains open and is tracked in ROADMAP.md: the bounded-remap
-kernels take host-computed per-zone bounds tied to absolute row windows, so the
-plumbing exists, but every scored workload that uses them (config 5) is
-burst-shaped where batch parallelism already saturates the mesh.
+Round 5 closed the last surveyed edge: CA removal and the DNG warp row-shard
+too. A ('batch', 'spatial') mesh routes ``develop_pipeline_sharded`` through
+``spatial_pipeline.develop_pipeline_spatial`` (frames data-parallel AND rows
+halo-sharded, windowed absolute-geometry maps), and a single large frame uses
+``spatial_pipeline.develop_frame_spatial`` — SURVEY §2.10 item 63 complete.
 
 Parity on the virtual 8-device mesh is gated by tests/test_parallel.py; the
 driver's ``dryrun_multichip`` runs the config-5 sharded step on every entry.
@@ -84,6 +84,18 @@ def develop_pipeline_sharded(
         raise ValueError(
             "fuse_hdr reduces across the sharded frame axis; use "
             "develop_hdr_sharded for the config-4 shape"
+        )
+    if SPATIAL_AXIS in mesh.shape and mesh.shape[SPATIAL_AXIS] > 1:
+        # ('batch', 'spatial') mesh: every frame's rows are ALSO sharded —
+        # CA + develop + warp run on halo-extended row blocks with windowed
+        # absolute-geometry maps (round 5, SURVEY item 63 closed)
+        from .spatial_pipeline import develop_pipeline_spatial
+
+        return develop_pipeline_spatial(
+            frames, mesh, cfg,
+            ca_model_r=ca_model_r, ca_model_b=ca_model_b,
+            warp_block=warp_block, warp_scale=warp_scale,
+            warp_interpolation=warp_interpolation, flat=flat, dark=dark,
         )
     n_b = mesh.shape[BATCH_AXIS]
     n = frames.bayer.shape[0]

@@ -428,7 +428,184 @@ def develop_frame_spatial(
     )
 
 
+def develop_pipeline_spatial(
+    frames: RawFrame,
+    mesh,
+    cfg: PipelineConfig = PipelineConfig(),
+    ca_model_r=None,
+    ca_model_b=None,
+    warp_block: Optional[bytes] = None,
+    warp_scale: float = 1.0,
+    warp_interpolation: str = "lanczos4",
+    flat: Optional[RawFrame] = None,
+    dark: Optional[RawFrame] = None,
+    halo: Optional[int] = None,
+) -> Array:
+    """Config-5 semantics on a ('batch', 'spatial') mesh: the burst's frame
+    axis is data-parallel over 'batch' AND every frame's rows are sharded over
+    'spatial' — the develop_frame_spatial block program run per local frame,
+    with the burst-consensus hot-pixel psum riding 'batch' exactly as in
+    develop_pipeline_sharded. Returns (N, H, W, 3).
+    """
+    if cfg.fuse_hdr:
+        raise ValueError("fuse_hdr reduces across the frame axis; use "
+                         "develop_hdr_sharded for the config-4 shape")
+    if frames.bayer.ndim != 3:
+        raise ValueError("develop_pipeline_spatial takes a batched RawFrame")
+    from .mesh import BATCH_AXIS
+
+    n_b = mesh.shape[BATCH_AXIS]
+    n_sp = mesh.shape[SPATIAL_AXIS]
+    n, full_h, full_w = frames.bayer.shape
+    if n % n_b != 0:
+        raise ValueError(f"burst size {n} must divide the batch axis {n_b}")
+    if full_h % (2 * n_sp) != 0:
+        raise ValueError(
+            f"height {full_h} must split into CFA-aligned blocks over {n_sp}"
+        )
+    rows_local = full_h // n_sp
+
+    setup_r = _ca_setup(ca_model_r, full_h, full_w) if ca_model_r is not None else None
+    setup_b = _ca_setup(ca_model_b, full_h, full_w) if ca_model_b is not None else None
+    if (ca_model_r is not None and setup_r is None) or (
+        ca_model_b is not None and setup_b is None
+    ):
+        raise ValueError("CA model has no static displacement bound; "
+                         "spatial sharding unavailable for it")
+    warp_ops = (
+        _warp_setup(warp_block, full_h, full_w, warp_scale, warp_interpolation)
+        if warp_block is not None
+        else []
+    )
+    if halo is None:
+        halo = required_spatial_halo(
+            cfg, (setup_r, setup_b), warp_ops, warp_interpolation
+        )
+    assert halo % 2 == 0
+    use_gather = halo >= rows_local
+    core_rows = (halo, halo + rows_local)
+    cal_leaves = tuple(f.bayer if f is not None else None for f in (flat, dark))
+
+    def extend(blocks: Array) -> Array:
+        """(n_local, rows_local, W) -> (n_local, rows_local + 2*halo, W):
+        one ppermute/gather per leaf covers every local frame."""
+        idx = lax.axis_index(SPATIAL_AXIS)
+        if use_gather:
+            full = lax.all_gather(blocks, SPATIAL_AXIS, axis=1, tiled=True)
+            padded = jnp.concatenate(
+                [
+                    jax.vmap(lambda f: _cfa_reflect_rows(f, halo, top=True))(full),
+                    full,
+                    jax.vmap(lambda f: _cfa_reflect_rows(f, halo, top=False))(full),
+                ],
+                axis=1,
+            )
+            return lax.dynamic_slice_in_dim(
+                padded, idx * rows_local, rows_local + 2 * halo, axis=1
+            )
+        send_up = [(i, i - 1) for i in range(1, n_sp)]
+        send_down = [(i, i + 1) for i in range(n_sp - 1)]
+        from_below = lax.ppermute(blocks[:, :halo], SPATIAL_AXIS, send_up)
+        from_above = lax.ppermute(blocks[:, -halo:], SPATIAL_AXIS, send_down)
+
+        def pad_one(block, below, above):
+            top = jnp.where(
+                idx == 0, _cfa_reflect_rows(block, halo, top=True), above
+            )
+            bottom = jnp.where(
+                idx == n_sp - 1,
+                _cfa_reflect_rows(block, halo, top=False),
+                below,
+            )
+            return jnp.concatenate([top, block, bottom], axis=0)
+
+        return jax.vmap(pad_one)(blocks, from_below, from_above)
+
+    def block_fn(bayer, cam_mat, cam_white, wb_neutral, ev, lim_sat,
+                 flat_bayer, dark_bayer):
+        idx = lax.axis_index(SPATIAL_AXIS)
+        b0 = idx * rows_local - halo
+
+        ext = extend(bayer)  # (n_local, rows_local + 2*halo, W)
+        flat_ext = extend(flat_bayer[None])[0] if flat_bayer is not None else None
+        dark_ext = extend(dark_bayer[None])[0] if dark_bayer is not None else None
+
+        def rebuild(b, cm, cw, wn, e, ls):
+            return RawFrame(
+                bayer=b, cam_mat=cm, cam_white=cw, wb_neutral=wn, ev=e,
+                lim_sat=ls, is_hdr=frames.is_hdr,
+                source_pattern=frames.source_pattern,
+            )
+
+        # burst-consensus masks: per-frame detection with frame-global stats
+        # (quantile psummed over 'spatial'), counts psummed over 'batch'
+        shared_masks = None
+        if cfg.repair_hot_pixels and cfg.hot_pixel_shared_ratio is not None:
+            from ..correct.bad_pixels import find_erroneous_pixels_median
+
+            def detect(args):
+                f = rebuild(*args)
+                return find_erroneous_pixels_median(
+                    f, cfg.hot_pixel_multiplier, cfg.hot_pixel_quantile,
+                    axis_name=SPATIAL_AXIS, core_rows=core_rows,
+                )
+
+            per_frame = lax.map(
+                detect, (ext, cam_mat, cam_white, wb_neutral, ev, lim_sat)
+            )
+            total = lax.psum(
+                jnp.sum(per_frame.astype(jnp.int32), axis=0), BATCH_AXIS
+            )
+            shared_masks = total >= jnp.ceil(n * cfg.hot_pixel_shared_ratio)
+
+        def one(args):
+            f = rebuild(*args)
+            if cfg.enables_per_frame_corrections or shared_masks is not None:
+                flat_f = (
+                    RawFrame.synthetic(flat_ext) if flat_ext is not None else None
+                )
+                dark_f = (
+                    RawFrame.synthetic(dark_ext) if dark_ext is not None else None
+                )
+                f = _correct_one(
+                    f, cfg, flat_f, dark_f, shared_masks,
+                    axis_name=SPATIAL_AXIS, core_rows=core_rows,
+                )
+            if setup_r is not None or setup_b is not None:
+                f = f.replace(
+                    bayer=_remove_ca_window(
+                        f.bayer, ca_model_r, ca_model_b, f.wb_reciprocal(),
+                        (full_h, full_w), b0, setup_r, setup_b,
+                    )
+                )
+            img = develop.__wrapped__(f, cfg.develop)
+            if warp_ops:
+                img = _warp_window(
+                    img, warp_ops, warp_scale, (full_h, full_w), b0
+                )
+            return img[halo:-halo]
+
+        return lax.map(one, (ext, cam_mat, cam_white, wb_neutral, ev, lim_sat))
+
+    bspec = (P(BATCH_AXIS, SPATIAL_AXIS, None),) + (P(BATCH_AXIS),) * 5
+    cal_specs = tuple(
+        P(SPATIAL_AXIS, None) if leaf is not None else P() for leaf in cal_leaves
+    )
+    sharded = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(*bspec, *cal_specs),
+        out_specs=P(BATCH_AXIS, SPATIAL_AXIS, None, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(
+        frames.bayer, frames.cam_mat, frames.cam_white, frames.wb_neutral,
+        frames.ev, frames.lim_sat, *cal_leaves,
+    )
+
+
 __all__ = [
     "develop_frame_spatial",
+    "develop_pipeline_spatial",
     "required_spatial_halo",
 ]

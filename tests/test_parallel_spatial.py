@@ -249,3 +249,68 @@ def test_required_spatial_halo_accounting():
         "lanczos4",
     )
     assert with_warp > base
+
+
+@requires_multi
+def test_pipeline_sharded_batch_x_spatial_parity():
+    """develop_pipeline_sharded on a ('batch','spatial') mesh: frames
+    data-parallel AND rows halo-sharded; every frame matches the monolithic
+    composition on interior rows (the full item-63 done-gate)."""
+    from pysp_tpu.correct.ca.models import Poly3CorrectionModel
+    from pysp_tpu.parallel.pipeline_sharded import develop_pipeline_sharded
+
+    n, h, w = 4, 128, 64
+    model = Poly3CorrectionModel(0.01)
+    warp_block = encode_warp_rectilinear([WARP_COEFFS] * 3, (0.5, 0.5))
+    frames = [
+        RawFrame.synthetic(mosaic_rggb(make_scene(h, w, seed=95 + i)),
+                           ev=9.0 + 0.1 * i)
+        for i in range(n)
+    ]
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    cfg = PipelineConfig(develop=DevelopConfig(quality=QualityDemosaic.Fast))
+
+    mesh = make_mesh((2, 4))
+    got = np.asarray(
+        develop_pipeline_sharded(
+            batch, mesh, cfg, ca_model_r=model, ca_model_b=model,
+            warp_block=warp_block, warp_interpolation="bilinear",
+        )
+    )
+    assert got.shape == (n, h, w, 3) and np.isfinite(got).all()
+    edge = 32
+    for i in (0, 3):
+        want = _monolithic(frames[i], cfg, model, model, warp_block, "bilinear")
+        np.testing.assert_allclose(
+            got[i, edge:-edge], want[edge:-edge], atol=3e-5
+        )
+
+
+@requires_multi
+def test_pipeline_spatial_consensus_masks():
+    """Burst-consensus hot pixels under ('batch','spatial'): counts psum over
+    'batch', quantiles psum over 'spatial' — matches the monolithic pipeline."""
+    from pysp_tpu.parallel.pipeline_sharded import develop_pipeline_sharded
+
+    n, h, w = 4, 64, 48
+    frames = []
+    for i in range(n):
+        b = np.asarray(mosaic_rggb(make_scene(h, w, seed=100 + i))) * 0.6 + 0.1
+        b[9, 13] = 1.0  # hot everywhere -> consensus keeps it
+        if i < 1:
+            b[41, 5] = 1.0  # hot in 1/4 frames -> consensus drops it
+        frames.append(RawFrame.synthetic(np.asarray(b, np.float32)))
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *frames)
+
+    cfg = PipelineConfig(
+        develop=DevelopConfig(quality=QualityDemosaic.Draft),
+        repair_hot_pixels=True,
+        hot_pixel_shared_ratio=0.6,
+    )
+    mesh = make_mesh((2, 2))
+    got = np.asarray(develop_pipeline_sharded(batch, mesh, cfg))
+    want = np.asarray(develop_pipeline(batch, cfg))
+    edge = 16
+    np.testing.assert_allclose(
+        got[:, edge:-edge], want[:, edge:-edge], atol=3e-5
+    )
