@@ -33,7 +33,7 @@ def main() -> None:
 
     enable_compile_cache()
     rng = np.random.default_rng(0)
-    H, W = 4000, 6000
+    H, W = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (4000, 6000)
     MP = H * W / 1e6
     frame = jax.device_put(
         RawFrame.synthetic(

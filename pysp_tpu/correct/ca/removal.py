@@ -169,6 +169,82 @@ def _model_row_zones(
     return zones
 
 
+def _model_rect_bounds(
+    scales, rs64, h: int, w: int, row_range, col_range, margin: int = 1
+):
+    """Displacement bounds of radial-model maps over an output rectangle
+    (host-side; ``scales`` are the models' dense ``f(r)/r - 1`` curves)."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    r_corner = float(np.hypot(cy, cx))
+    r0, r1 = row_range
+    c0, c1 = col_range
+    ys = np.linspace(r0, r1 - 1, max(17, (r1 - r0) // 8)) - cy
+    xs = np.linspace(c0, c1 - 1, max(17, (c1 - c0) // 8)) - cx
+    yg, xg = np.meshgrid(ys, xs, indexing="ij")
+    r = np.clip(np.hypot(yg, xg) / r_corner, 1e-4, 1.0)
+    dy_lo = dy_hi = dx_lo = dx_hi = 0.0
+    for sm1 in scales:
+        s = np.interp(r, rs64, sm1)
+        dy, dx = yg * s, xg * s
+        dy_lo, dy_hi = min(dy_lo, dy.min()), max(dy_hi, dy.max())
+        dx_lo, dx_hi = min(dx_lo, dx.min()), max(dx_hi, dx.max())
+    return (
+        (int(np.floor(dy_lo)) - margin, int(np.floor(dy_hi)) + margin),
+        (int(np.floor(dx_lo)) - margin, int(np.floor(dx_hi)) + margin),
+    )
+
+
+def _model_scales(models, kind: str):
+    """Dense radial displacement-scale curves f(r)/r - 1 (host) or None."""
+    import jax
+
+    try:
+        with jax.ensure_compile_time_eval():
+            rs = jnp.asarray(np.linspace(1e-4, 1.0, 4096), jnp.float32)
+            scales = []
+            for m in models:
+                if kind == "fwd":
+                    f = np.asarray(m.get_distorted(rs), np.float64)
+                else:
+                    f = np.asarray(m.estimate_undistorted(rs), np.float64)
+                scales.append(f / np.linspace(1e-4, 1.0, 4096) - 1.0)
+    except Exception:
+        return None
+    if not all(np.isfinite(s).all() for s in scales):
+        return None
+    return scales
+
+
+def _model_grid_zones(
+    models, h: int, w: int, direction: str, n_rows: int = 4, n_cols: int = 4
+):
+    """Column x row rectangle zones of the models' remaps for
+    ``remap_bounded_pallas_grid`` — the medium-format path: a full-width CA
+    launch at 100 MP widths no longer fits VMEM (remap_fits_full_width), but
+    column rects shrink both the launch width and each rectangle's local
+    spans. Exact bilinear per rect (no sep gating at the halved strip-halo
+    budget — CA magnitudes rarely pass it anyway). Returns col_zones or None.
+    """
+    from ...ops.pallas_kernels import col_zone_edges, row_zone_edges
+
+    r_edges = row_zone_edges(h, n_rows)
+    c_edges = col_zone_edges(w, n_cols)
+    if r_edges is None or c_edges is None:
+        return None
+    scales = _model_scales(models, direction)
+    if scales is None:
+        return None
+    rs64 = np.linspace(1e-4, 1.0, 4096)
+    col_zones = []
+    for c0, c1 in zip(c_edges, c_edges[1:]):
+        zones = [
+            (r0, r1, *_model_rect_bounds(scales, rs64, h, w, (r0, r1), (c0, c1)))
+            for r0, r1 in zip(r_edges, r_edges[1:])
+        ]
+        col_zones.append((c0, c1, zones, None))
+    return col_zones
+
+
 def _model_sep_pos_error(
     models,
     h: int,
@@ -297,20 +373,31 @@ def remove_ca_from_raw(
 
 
 def _ca_launch_setup(models, fh, fw, direction):
-    """(bb, zones, kind, kinds) for a banded CA remap launch using only
+    """(bb, zones, kind, kinds, grid) for a banded CA remap launch using only
     ``models``' ``direction`` maps — the SINGLE source of the bound / zone /
     sep-kind gating shared by the per-frame (_remove_ca_batched) and burst
     (_remove_ca_burst) paths. Direction-restricted gating bounds tighter than
     a both-directions union (the forward and inverse maps displace opposite
-    ways), within the same 1/32-px sep accuracy budget. None when any model
-    misbehaves or exceeds the bound cap."""
+    ways), within the same 1/32-px sep accuracy budget. ``grid`` carries
+    column-rect zones when a full-width launch can't fit VMEM (medium-format
+    widths — round-5 large-frame ledger). None when any model misbehaves or
+    exceeds the bound cap."""
+    from ...ops.pallas_kernels import remap_fits_full_width
     from ...ops.resample import SEP_POS_ERR_BUDGET
 
-    bounds = [_model_bound_px(m, fh, fw) for m in models]
+    # cap 24 (not the full-width 12): medium-format radii push the same CA
+    # model past 12 px of displacement (k1 ~ 0.004 at a 7300 px corner radius
+    # is ~13 px), and the grid path splits the select cost by rect-LOCAL
+    # bounds, so the global bound may exceed what a full-width launch carries
+    bounds = [_model_bound_px(m, fh, fw, cap=24) for m in models]
     if any(b is None for b in bounds):
         return None
     bound = max(bounds)
     bb = (-bound, bound)
+    if bound > 12 and remap_fits_full_width("bilinear", fw, bb, bb):
+        # wide bound but narrow frame: the full-width select chains the 12 px
+        # cap protects against would actually run — keep the old refusal
+        return None
     zones = _model_row_zones(models, fh, fw, direction)
     glob = _model_sep_pos_error(models, fh, fw, bb, direction=direction)
     kind = (
@@ -334,16 +421,35 @@ def _ca_launch_setup(models, fh, fw, direction):
                 else "bilinear"
             )
         kinds = None if all(k == "bilinear" for k in ks) else ks
-    return bb, zones, kind, kinds
+    grids = []
+    if not remap_fits_full_width("bilinear", fw, bb, bb):
+        # candidate granularities, tried in order at launch time (a coarse
+        # grid's corner rectangles may still not fit; finer rects shrink both
+        # the launch width and the local spans)
+        grids = [
+            g
+            for n in (4, 8, 12)
+            if (g := _model_grid_zones(models, fh, fw, direction, n, n))
+            is not None
+        ]
+    return bb, zones, kind, kinds, grids
 
 
 def _ca_launch(stack, mx, my, setup):
-    """Shared zoned -> unzoned -> exact-bilinear banded-remap ladder."""
-    from ...ops.pallas_kernels import remap_bounded_pallas, remap_bounded_pallas_zoned
+    """Shared grid -> zoned -> unzoned -> exact-bilinear banded-remap ladder."""
+    from ...ops.pallas_kernels import (
+        remap_bounded_pallas,
+        remap_bounded_pallas_grid,
+        remap_bounded_pallas_zoned,
+    )
 
-    bb, zones, kind, kinds = setup
+    bb, zones, kind, kinds, grids = setup
     out = None
-    if zones is not None:
+    for grid in grids:
+        out = remap_bounded_pallas_grid(stack, mx, my, grid, "bilinear")
+        if out is not None:
+            break
+    if out is None and zones is not None:
         out = remap_bounded_pallas_zoned(stack, mx, my, zones, kind, kinds=kinds)
     if out is None:
         out = remap_bounded_pallas(stack, mx, my, bb, bb, kind)

@@ -1121,6 +1121,34 @@ def _remap_kernel(
     out_ref[0] = res[:, :width]
 
 
+def _remap_budget_rows(live: int, wq: int) -> int:
+    """Rows of remap tile fitting a third of VMEM at this live-set estimate
+    (the /3 absorbs Mosaic's ~2.5x actual stack allocation near span caps)."""
+    return (_VMEM_LIMIT // 3) // max(live * wq * 4, 1)
+
+
+def _remap_live_estimate(kind: str, dy_bounds, dx_bounds) -> int:
+    """The dispatchers' shared worst-case live-value count for a remap launch
+    (see remap_bounded_pallas's notes; deliberately fat)."""
+    dy0, dy1 = int(dy_bounds[0]), int(dy_bounds[1])
+    dx0, dx1 = int(dx_bounds[0]), int(dx_bounds[1])
+    if kind == "lanczos4":
+        return 3 * ((dy1 - dy0 + 9) + (dx1 - dx0 + 9)) + 30
+    if kind == "lanczos4_sep":
+        return 48
+    if kind == "bilinear_sep":
+        return 24
+    return 6 * (dy1 - dy0 + 2) + 16
+
+
+def remap_fits_full_width(kind: str, width: int, dy_bounds, dx_bounds) -> bool:
+    """Host-side: would a full-width banded remap launch fit VMEM at the
+    minimum 8-row tile? False at medium-format widths x medium-format spans —
+    the caller should zone columns (grid) instead of rows."""
+    wq = _round_up(width, _LANE)
+    return _remap_budget_rows(_remap_live_estimate(kind, dy_bounds, dx_bounds), wq) >= 8
+
+
 def row_zone_edges(h: int, n_zones: int):
     """Zone row edges for ``remap_bounded_pallas_zoned``: 8-aligned interior
     boundaries, contiguous cover of [0, h). None when h is too short — the
@@ -1343,14 +1371,7 @@ def remap_bounded_pallas(
     # Mosaic's register allocator keeps far more of the select-chain wires live
     # than the dict sizes suggest (tile 128 spilled 147 MB on a bilinear +-4
     # launch), so the live estimate is deliberately fat and the tile capped low.
-    if kind == "lanczos4":
-        live = 3 * ((dy1 - dy0 + 9) + (dx1 - dx0 + 9)) + 30
-    elif kind == "lanczos4_sep":
-        live = 48
-    elif kind == "bilinear_sep":
-        live = 24
-    else:
-        live = 6 * (dy1 - dy0 + 2) + 16
+    live = _remap_live_estimate(kind, (dy0, dy1), (dx0, dx1))
     wq = _round_up(w, _LANE)
     wp = _round_up(pad_c + wq + max(t_max, 0), _LANE)
     if tile_h == 0:
@@ -1358,8 +1379,15 @@ def remap_bounded_pallas(
         # /3: Mosaic's actual stack allocation ran up to ~2.5x this estimate
         # near the span caps (a (30, 46)-span bilinear at tile 32 hit 103.5M
         # of the 100M scoped limit), so size the tile for a third of VMEM.
-        budget_rows = (_VMEM_LIMIT // 3) // max(live * wq * 4, 1)
-        tile_h = max(8, min(32, budget_rows - budget_rows % 8))
+        budget_rows = _remap_budget_rows(live, wq)
+        if budget_rows < 8:
+            # even the minimum 8-row tile would spill: a medium-format-width
+            # launch at medium-format spans measured 349.9M of 128M VMEM
+            # (BASELINE.md round-5 large-frame ledger). Refuse; the caller's
+            # ladder falls to column-rect grid zones, whose rect-local widths
+            # and spans fit.
+            return None
+        tile_h = min(32, budget_rows - budget_rows % 8)
     if tile_h % 8:
         return None
     hp = _round_up(h, tile_h)
@@ -1543,9 +1571,12 @@ def rl_deconv_pallas(
     if h < 2 * reach or w < 2 * reach:
         return None
 
-    live = 4 * len(taps) // 2 + 16
+    # the big VMEM tenants are the four double-buffered band scratches, which
+    # scale with the tile like _pick_tile's live wires; the measured sweep
+    # (benchmarks/rl_tile_sweep.py: 40 -> 71 ms, 80 -> 61.2, 200 -> 59.5,
+    # 400 spills) puts the knee at ~200 rows
     if tile_h == 0:
-        tile_h = _pick_tile(h, w, live_values=live)
+        tile_h = _pick_tile(h, w, live_values=10, max_tile=200)
     if tile_h == 0 or tile_h < 2 * reach or h % tile_h != 0:
         return None
 

@@ -218,7 +218,7 @@ def _remove_ca_window(
     g_res = resample_g_to_full_resolution(g1, g2)
     hb = g_res.shape[-2]
 
-    def correct_channel(chan, half_plane, model, setup, resample, plane_idx, gain):
+    def correct_channel(half_plane, model, setup, resample, plane_idx, gain):
         bound, kind_inv, kind_fwd = setup
         bb = (-bound, bound)
         g_at = remap_bounded(
@@ -233,9 +233,9 @@ def _remove_ca_window(
         return bayer_to_rgbg(chan_at_g)[plane_idx] / gain
 
     if model_r is not None and setup_r is not None:
-        r = correct_channel(r, r, model_r, setup_r, resample_r, 0, wb[0])
+        r = correct_channel(r, model_r, setup_r, resample_r, 0, wb[0])
     if model_b is not None and setup_b is not None:
-        b = correct_channel(b, b, model_b, setup_b, resample_b, 2, wb[2])
+        b = correct_channel(b, model_b, setup_b, resample_b, 2, wb[2])
     return rgbg_to_bayer(r, g1, b, g2)
 
 

@@ -364,20 +364,33 @@ def warp_image_rectilinear(
 
     out = None
     # column x row rectangle zones: every rectangle pays only its LOCAL
-    # displacement spans (round-4 exact bounds). Engaged for bilinear only —
-    # see the _GRID_ZONES note (lanczos4 measured faster on row zones + sep).
+    # displacement spans (round-4 exact bounds). Engaged for bilinear (the
+    # measured 24 MP win — see the _GRID_ZONES note; lanczos4 measured faster
+    # on row zones + sep there) AND for any kind whose full-width banded
+    # launch cannot fit VMEM at the minimum tile — the medium-format case
+    # (100 MP lanczos4 spans (26, 34) measured 349.9M of 128M VMEM as
+    # full-width rows; column rects shrink both the width and the local
+    # spans, BASELINE.md round-5 large-frame ledger).
+    from ..ops.pallas_kernels import remap_fits_full_width
+
+    need_grid = not remap_fits_full_width(kind, w, dyb, dxb)
     if (
         _GRID_ZONES is not None
-        and interpolation == "bilinear"
+        and (interpolation == "bilinear" or need_grid)
         and w >= 512
         and h >= 64
     ):
-        grid = warp_grid_zones(
-            coeffs, w, h, cam_center_norm, scale,
-            n_rows=_GRID_ZONES[0], n_cols=_GRID_ZONES[1],
-            interpolation=interpolation,
-        )
-        if grid is not None:
+        # medium-format spans may need finer rects than the measured 4x4
+        # default before the corner rectangles' local (width, span) fit VMEM
+        grid_sizes = [_GRID_ZONES] + ([(8, 8), (12, 12)] if need_grid else [])
+        for n_rows, n_cols in grid_sizes:
+            grid = warp_grid_zones(
+                coeffs, w, h, cam_center_norm, scale,
+                n_rows=n_rows, n_cols=n_cols,
+                interpolation=interpolation,
+            )
+            if grid is None:
+                continue
             col_zones, _ = grid
             from ..ops.pallas_kernels import remap_bounded_pallas_grid
 
