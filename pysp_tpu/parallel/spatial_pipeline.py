@@ -67,20 +67,37 @@ def _ceil_even(v: float) -> int:
 
 
 def _ca_setup(model, full_h: int, full_w: int):
-    """(bound_px, kind_inv, kind_fwd) for one model's remaps on the full frame,
-    or None when the model's displacement has no usable static bound."""
-    from ..correct.ca.removal import _model_bound_px, _model_sep_pos_error
+    """(bound_px, kind_inv, kind_fwd, rects_inv, rects_fwd) for one model's
+    remaps on the full frame, or None when the model's displacement has no
+    usable static bound. ``rects_*`` are the in-shard column rectangles for
+    medium-format widths (see _col_rects_for), None when full-width fits."""
+    from ..correct.ca.removal import (
+        _model_bound_px,
+        _model_rect_bounds,
+        _model_scales,
+        _model_sep_pos_error,
+    )
+    import numpy as _np
 
-    bound = _model_bound_px(model, full_h, full_w)
+    from ..ops.pallas_kernels import remap_fits_full_width
+
+    bound = _model_bound_px(model, full_h, full_w, cap=24)
     if bound is None:
         return None
+    bb = (-bound, bound)
+    if bound > 12 and remap_fits_full_width("bilinear", full_w, bb, bb):
+        # wide bound but narrow frame: full-width select chains would actually
+        # run — keep the monolithic path's refusal (correct/ca/removal.py)
+        return None
     kinds = []
+    rects = []
+    rs64 = _np.linspace(1e-4, 1.0, 4096)
     for direction in ("inv", "fwd"):
         # sep kinds exist only in the Pallas kernels: off-TPU the XLA fallback
         # would silently run plain bilinear where lanczos/exact was meant
         err = (
             _model_sep_pos_error(
-                [model], full_h, full_w, (-bound, bound), direction=direction
+                [model], full_h, full_w, bb, direction=direction
             )
             if jax.default_backend() == "tpu"
             else None
@@ -90,7 +107,21 @@ def _ca_setup(model, full_h: int, full_w: int):
             if err is not None and err <= SEP_POS_ERR_BUDGET
             else "bilinear"
         )
-    return bound, kinds[0], kinds[1]
+        scales = _model_scales([model], direction)
+        rects.append(
+            _col_rects_for(
+                "bilinear",
+                full_w,
+                bb,
+                bb,
+                lambda c0, c1: _model_rect_bounds(
+                    scales, rs64, full_h, full_w, (0, full_h), (c0, c1)
+                ),
+            )
+            if scales is not None
+            else None
+        )
+    return bound, kinds[0], kinds[1], rects[0], rects[1]
 
 
 def _warp_setup(
@@ -144,7 +175,23 @@ def _warp_setup(
             )
             if err <= SEP_POS_ERR_BUDGET:
                 kind = interpolation + "_sep"
-        ops.append((coefficients, center, (dyb, dxb), kind))
+
+        def rect_bounds(c0, c1, _unique=unique):
+            rbs = [
+                displacement_bounds(
+                    co, full_w, full_h, center, scale, col_range=(c0, c1)
+                )
+                for co in _unique
+            ]
+            if any(b is None for b in rbs):
+                return dyb, dxb  # fall back to global (rect gains nothing)
+            return (
+                (min(b[0][0] for b in rbs), max(b[0][1] for b in rbs)),
+                (min(b[1][0] for b in rbs), max(b[1][1] for b in rbs)),
+            )
+
+        col_rects = _col_rects_for(interpolation, full_w, dyb, dxb, rect_bounds)
+        ops.append((coefficients, center, (dyb, dxb), kind, col_rects))
     return ops
 
 
@@ -177,9 +224,59 @@ def required_spatial_halo(
             h += 2 * bound + 16
     h += 16  # develop stencil reach (spatial.develop_spatial's default)
     reach = 4 if interpolation == "lanczos4" else 1
-    for _co, _ce, (dyb, _dxb), _k in warp_ops:
+    for _co, _ce, (dyb, _dxb), *_rest in warp_ops:
         h += max(abs(dyb[0]), abs(dyb[1])) + reach + 2
     return _ceil_even(h)
+
+
+def _col_rects_for(kind: str, full_w: int, dyb, dxb, rect_bounds_fn):
+    """Static column rectangles for the in-shard remaps, or None when the
+    full-width launch already fits VMEM.
+
+    Why rect-zoning survives shard_map's one-program constraint: column
+    positions are ABSOLUTE (shard-invariant), so per-rect dx bounds are the
+    same static values on every shard; only the dy bounds must stay at the
+    global union (rows span shards). ``rect_bounds_fn(c0, c1) -> (dy, dx)``
+    computes a rect's host-side bounds. Escalates granularity until every
+    rect's (width, spans) fit the minimum tile.
+    """
+    from ..ops.pallas_kernels import col_zone_edges, remap_fits_full_width
+
+    if remap_fits_full_width(kind, full_w, dyb, dxb):
+        return None
+    for n in (4, 8, 12):
+        edges = col_zone_edges(full_w, n)
+        if edges is None:
+            continue
+        rects = []
+        ok = True
+        for c0, c1 in zip(edges, edges[1:]):
+            _dyb_r, dxb_r = rect_bounds_fn(c0, c1)
+            if not remap_fits_full_width(kind, c1 - c0, dyb, dxb_r):
+                ok = False
+                break
+            rects.append((c0, c1, dxb_r))
+        if ok and rects:
+            return rects
+    return None
+
+
+def _shard_remap(img_ext, mx, my, dyb, dxb, kind, col_rects):
+    """One shard-local remap: rect-zoned banded launches when ``col_rects``
+    is given (medium-format widths), the plain bounded remap otherwise."""
+    import jax as _jax
+
+    if col_rects is not None and _jax.default_backend() == "tpu":
+        from ..ops.pallas_kernels import remap_bounded_pallas_grid
+
+        hb = img_ext.shape[-2]
+        col_zones = [
+            (c0, c1, [(0, hb, dyb, dxb_r)], None) for c0, c1, dxb_r in col_rects
+        ]
+        out = remap_bounded_pallas_grid(img_ext, mx, my, col_zones, kind)
+        if out is not None:
+            return out
+    return remap_bounded(img_ext, mx, my, dyb, dxb, kind=kind)
 
 
 # ---------------------------------------------------------------------------
@@ -219,16 +316,16 @@ def _remove_ca_window(
     hb = g_res.shape[-2]
 
     def correct_channel(half_plane, model, setup, resample, plane_idx, gain):
-        bound, kind_inv, kind_fwd = setup
+        bound, kind_inv, kind_fwd, rects_inv, rects_fwd = setup
         bb = (-bound, bound)
-        g_at = remap_bounded(
+        g_at = _shard_remap(
             g_res, *_window_maps(model, "inv", hb, b0, full_shape), bb, bb,
-            kind=kind_inv,
+            kind_inv, rects_inv,
         )
         chan_res = resample(half_plane * gain, g_at)
-        chan_at_g = remap_bounded(
+        chan_at_g = _shard_remap(
             chan_res, *_window_maps(model, "fwd", hb, b0, full_shape), bb, bb,
-            kind=kind_fwd,
+            kind_fwd, rects_fwd,
         )
         return bayer_to_rgbg(chan_at_g)[plane_idx] / gain
 
@@ -253,7 +350,7 @@ def _warp_window(
 
     full_h, full_w = full_shape
     hb = img_ext.shape[0]
-    for coefficients, center, (dyb, dxb), kind in warp_ops:
+    for coefficients, center, (dyb, dxb), kind, col_rects in warp_ops:
         maps = {}
         for co in dict.fromkeys(tuple(float(v) for v in c) for c in coefficients):
             mx, my = compute_remapping_table_window(
@@ -267,7 +364,9 @@ def _warp_window(
             co = tuple(float(v) for v in coefficients[idx])
             mx, my = maps[co]
             planes.append(
-                remap_bounded(img_ext[:, :, idx], mx, my, dyb, dxb, kind=kind)
+                _shard_remap(
+                    img_ext[:, :, idx], mx, my, dyb, dxb, kind, col_rects
+                )
             )
         img_ext = jnp.stack(planes, axis=-1)
     return img_ext
