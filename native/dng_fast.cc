@@ -17,6 +17,7 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <thread>
@@ -25,6 +26,12 @@
 namespace {
 
 int hw_threads() {
+  // DNG_FAST_THREADS caps/pins the pool (benchmarks' threads axis; 0/unset =
+  // hardware concurrency)
+  if (const char* env = std::getenv("DNG_FAST_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) return v;
+  }
   unsigned n = std::thread::hardware_concurrency();
   return n == 0 ? 4 : static_cast<int>(n);
 }
