@@ -510,3 +510,28 @@ def test_displacement_bounds_exact_containment():
             zx = fdx[r0:r1, c0:c1]
             assert zdyb[0] <= zy.min() and zy.max() <= zdyb[1], (r0, c0)
             assert zdxb[0] <= zx.min() and zx.max() <= zdxb[1], (r0, c0)
+
+
+def test_full_width_vmem_refusal():
+    """Medium-format-width launches that would spill VMEM at the minimum tile
+    are REFUSED (None -> caller's grid/XLA ladder), never compiled: the 102 MP
+    lanczos4 warp measured a 349.9M-of-128M VMEM program before this gate
+    (BASELINE.md round-5 large-frame ledger)."""
+    import jax.numpy as jnp
+
+    from pysp_tpu.ops.pallas_kernels import (
+        remap_bounded_pallas,
+        remap_fits_full_width,
+    )
+
+    h, w = 64, 11648
+    dyb, dxb = (-12, 16), (-20, 16)  # the measured 102 MP warp bounds
+    assert not remap_fits_full_width("lanczos4", w, dyb, dxb)
+    img = jnp.zeros((h, w), jnp.float32)
+    mx = jnp.zeros((h, w), jnp.float32)
+    my = jnp.zeros((h, w), jnp.float32)
+    assert remap_bounded_pallas(img, mx, my, dyb, dxb, "lanczos4") is None
+
+    # 24 MP-class widths at in-band spans still fit
+    assert remap_fits_full_width("lanczos4", 6000, (-4, 4), (-4, 4))
+    assert remap_fits_full_width("bilinear", 6000, (-12, 12), (-12, 12))
